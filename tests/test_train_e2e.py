@@ -1,0 +1,73 @@
+"""Minimum end-to-end slice (SURVEY.md §7 step 3): tiny model + criterion +
+optimizer on synthetic data — loss must decrease; and the train step must
+compile and run sharded over the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uvhand_tpu.geometry import mano, objects
+from uvhand_tpu.models.detr import UVHandDETR
+from uvhand_tpu.train import mesh as mesh_lib
+from uvhand_tpu.train.state import create_train_state
+from uvhand_tpu.train.step import make_train_step
+
+from test_criterion import make_targets  # reuse target factory
+
+B = 2
+
+
+def tiny_model():
+    return UVHandDETR(
+        num_queries=12, num_encoder_layers=1, num_decoder_layers=2,
+        d_model=64, dim_feedforward=128, n_heads=4, dropout=0.0,
+        feature_mask_ratio=0.0,
+    )
+
+
+def build_world():
+    rng = np.random.default_rng(3)
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    bank = objects.synthetic_object_bank(2)
+    targets, _ = make_targets(rng, mano_r, mano_l, bank)
+    return mano_r, mano_l, bank, targets
+
+
+def test_loss_decreases():
+    mano_r, mano_l, bank, targets = build_world()
+    model = tiny_model()
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(B, 64, 64, 3)), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, imgs)
+    state = create_train_state(model, params, lr=1e-4, clip_max_norm=0.1)
+    step = make_train_step(model, mano_r, mano_l, bank, donate=False)
+
+    batch = {"images": imgs, "targets": targets}
+    losses = []
+    for i in range(12):
+        state, ld = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(ld["total"]))
+        assert np.isfinite(losses[-1]), (i, ld)
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_sharded_8dev():
+    mano_r, mano_l, bank, targets = build_world()
+    model = tiny_model()
+    m = mesh_lib.make_mesh()
+    assert m.devices.size == 8
+
+    # batch 8 = 1 per device
+    reps = 4  # B=2 -> 8
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(8, 64, 64, 3)), jnp.float32)
+    targets8 = jax.tree.map(lambda x: jnp.concatenate([x] * reps, 0), targets)
+    params = model.init({"params": jax.random.PRNGKey(0)}, imgs[:2])
+    state = create_train_state(model, params, lr=1e-4)
+    step = make_train_step(model, mano_r, mano_l, bank, donate=False)
+
+    batch = mesh_lib.shard_batch(m, {"images": imgs, "targets": targets8})
+    state2, ld = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(ld["total"]))
+    # params stayed replicated and updated
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree.leaves(diff)) > 0

@@ -1,0 +1,385 @@
+"""ARCTIC DETR criterion: Hungarian-matched detection losses + full
+hand/object parameter, keypoint and contact losses.
+
+Capability parity with `SetArcticCriterion`
+(`/root/reference/models/actic_detr.py:365-569`) and `compute_small_loss`
+(`/root/reference/arctic_tools/src/callbacks/loss/loss_arctic_sf.py:190-399`),
+including per-aux-layer losses and the two-stage interm (encoder) losses.
+
+TPU-first redesign:
+  - the reference loops over decoder layers, re-matching and re-running MANO
+    FK sequentially per layer (6x); here the per-layer dimension is vmapped so
+    all layers' matches, MANO forwards and object FK run as one batched
+    program on the MXU,
+  - all data-dependent `if sum(valid) != 0` branches become masked means,
+  - query selection (`get_arctic_item`, arctic_tools/process.py:20-70) is a
+    vectorized argmax/gather,
+  - everything is differentiable end-to-end and shardable (no host sync; the
+    reference's scipy matcher round-trip is replaced by losses/matching.py).
+
+Target schema (static shapes, batch B, T=3 target slots, 21 joints, 32 object
+keypoints, 778 MANO verts): see `tests/test_criterion.py::make_targets`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera
+from ..geometry.mano import MANOModel, mano_forward
+from ..geometry.objects import ObjectBank, object_forward
+from ..geometry.rotations import axis_angle_to_matrix
+from .matching import arctic_match
+
+HAND_LABELS = (12, 13)
+CONTACT_DIST = 3e-3  # 3mm (loss_modules.py:213)
+
+DEFAULT_LOSS_WEIGHTS = {
+    # actic_detr.py:642-676
+    "loss_ce": 2.0,
+    "loss_hand_keypoint": 5.0,
+    "loss_obj_keypoint": 5.0,
+    "loss/object/v3d_smoothing": 0.0005,
+    "loss/mano/cam_t/r": 1.0,
+    "loss/mano/cam_t/l": 1.0,
+    "loss/object/cam_t": 1.0,
+    "loss/mano/kp2d/r": 5.0,
+    "loss/mano/kp3d/r": 5.0,
+    "loss/mano/pose/r": 10.0,
+    "loss/mano/beta/r": 0.001,
+    "loss/mano/kp2d/l": 5.0,
+    "loss/mano/kp3d/l": 5.0,
+    "loss/mano/pose/l": 10.0,
+    "loss/mano/beta/l": 0.001,
+    "loss/cd": 10.0,
+    "loss/mano/transl/l": 10.0,
+    "loss/object/kp2d": 1.0,
+    "loss/object/kp3d": 5.0,
+    "loss/object/radian": 1.0,
+    "loss/object/rot": 1.0,
+    "loss/object/transl": 10.0,
+}
+
+
+# ---------------------------------------------------------------- utilities
+
+
+def masked_row_mean(dist: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
+    """reference vector_loss: mean over elements of valid rows; 0 if none."""
+    n = jnp.sum(row_valid)
+    per_row = dist.reshape(dist.shape[0], -1)
+    s = jnp.sum(per_row * row_valid[:, None])
+    denom = n * per_row.shape[1]
+    return jnp.where(n > 0, s / jnp.maximum(denom, 1.0), 0.0)
+
+
+def joints_mean(dist: jnp.ndarray, jts_valid: jnp.ndarray) -> jnp.ndarray:
+    """reference joints_loss: mean over ALL elements of dist * jts_valid."""
+    return jnp.mean(dist * jts_valid[..., None])
+
+
+# --------------------------------------------------------- detection losses
+
+
+def sigmoid_focal_loss(logits, onehot, num_boxes, alpha=0.25, gamma=2.0):
+    """segmentation.py:196-221 followed by the *Q scaling (actic_detr.py:410)."""
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * onehot + (1 - p) * (1 - onehot)
+    loss = ce * (1 - p_t) ** gamma
+    alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    loss = alpha_t * loss
+    return loss.mean(1).sum() / num_boxes * logits.shape[1]
+
+
+def loss_labels(pred_logits, tgt_labels, assign, target_valid, num_boxes):
+    """actic_detr.py:389-416. assign: (B, T) query per target or -1."""
+    B, Q, C = pred_logits.shape
+    T = assign.shape[1]
+    target_classes = jnp.full((B, Q), C, jnp.int32)
+    q_range = jnp.arange(Q)[None, :]
+    for t in range(T):  # T is tiny (3); avoids scatter collision semantics
+        hit = (q_range == assign[:, t : t + 1]) & (assign[:, t : t + 1] >= 0) & target_valid[:, t : t + 1]
+        target_classes = jnp.where(hit, tgt_labels[:, t : t + 1], target_classes)
+    onehot = jax.nn.one_hot(target_classes, C + 1, dtype=pred_logits.dtype)[..., :-1]
+    return sigmoid_focal_loss(pred_logits, onehot, num_boxes)
+
+
+def loss_keypoints(pred_hand_key, pred_obj_key, tgt_labels, tgt_keypoints, assign, target_valid):
+    """actic_detr.py:436-466: L1 on matched queries, hand/object routed."""
+    B, T = assign.shape
+    b_idx = jnp.arange(B)[:, None]
+    q = jnp.maximum(assign, 0)
+    src_hand = pred_hand_key[b_idx, q]  # (B, T, 42)
+    src_obj = pred_obj_key[b_idx, q]
+    valid = target_valid & (assign >= 0)
+    is_hand = ((tgt_labels == 12) | (tgt_labels == 13)) & valid
+    is_obj = (~((tgt_labels == 12) | (tgt_labels == 13))) & valid
+
+    l1_hand = jnp.abs(src_hand - tgt_keypoints).sum(-1)
+    l1_obj = jnp.abs(src_obj - tgt_keypoints).sum(-1)
+    n_hand = jnp.sum(is_hand)
+    n_obj = jnp.sum(is_obj)
+    loss_hand = jnp.where(
+        n_hand > 0, jnp.sum(l1_hand * is_hand) / jnp.maximum(n_hand, 1) / 21.0, 0.0
+    )
+    loss_obj = jnp.where(
+        n_obj > 0, jnp.sum(l1_obj * is_obj) / jnp.maximum(n_obj, 1) / 21.0, 0.0
+    )
+    return loss_hand, loss_obj
+
+
+# ------------------------------------------------------------ query select
+
+
+def select_queries(stacked_layer: Dict[str, jnp.ndarray], num_obj_classes: int = 11):
+    """get_arctic_item (arctic_tools/process.py:19-70), vectorized.
+
+    Picks, per image: best object query (max prob over classes 1..11), and
+    the argmax query for left (12) / right (13) hands. Returns the gathered
+    params dict.
+    """
+    logits = stacked_layer["pred_logits"]
+    prob = jax.nn.sigmoid(logits)
+    B, Q, C = prob.shape
+
+    obj_probs = prob[:, :, 1 : 1 + num_obj_classes]  # (B, Q, 11)
+    per_class_best_q = jnp.argmax(obj_probs, axis=1)  # (B, 11)
+    per_class_score = jnp.max(obj_probs, axis=1)  # (B, 11)
+    best_class = jnp.argmax(per_class_score, axis=1)  # (B,)
+    obj_q = jnp.take_along_axis(per_class_best_q, best_class[:, None], 1)[:, 0]
+    left_q = jnp.argmax(prob[:, :, 12], axis=1)
+    right_q = jnp.argmax(prob[:, :, 13], axis=1)
+
+    b = jnp.arange(B)
+    g = lambda x, q: x[b, q]
+    return {
+        "root.l": g(stacked_layer["pred_hand_cam"], left_q),
+        "root.r": g(stacked_layer["pred_hand_cam"], right_q),
+        "root.o": g(stacked_layer["pred_obj_cam"], obj_q),
+        "pose.l": g(stacked_layer["pred_mano_pose"], left_q),
+        "pose.r": g(stacked_layer["pred_mano_pose"], right_q),
+        "beta.l": g(stacked_layer["pred_mano_beta"], left_q),
+        "beta.r": g(stacked_layer["pred_mano_beta"], right_q),
+        "obj_rot": g(stacked_layer["pred_obj_rot"], obj_q),
+        "obj_rad": g(stacked_layer["pred_obj_rad"], obj_q)[..., 0],
+        "query.l": left_q,
+        "query.r": right_q,
+        "query.o": obj_q,
+    }
+
+
+# ------------------------------------------------------------- small loss
+
+
+def compute_small_loss(
+    pred: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    mano_r: MANOModel,
+    mano_l: MANOModel,
+    obj_bank: ObjectBank,
+    img_res: float,
+) -> Dict[str, jnp.ndarray]:
+    """loss_arctic_sf.py:190-399 with masked means instead of branches."""
+    K = gt["intrinsics"]
+    avg_f = (K[:, 0, 0] + K[:, 1, 1]) / 2.0
+    cam_t_r = camera.weak_perspective_to_perspective(pred["root.r"], avg_f, img_res)
+    cam_t_l = camera.weak_perspective_to_perspective(pred["root.l"], avg_f, img_res)
+    cam_t_o = camera.weak_perspective_to_perspective(pred["root.o"], avg_f, img_res)
+
+    is_valid = gt["is_valid"].astype(jnp.float32)
+    right_valid = gt["right_valid"].astype(jnp.float32) * is_valid
+    left_valid = gt["left_valid"].astype(jnp.float32) * is_valid
+    jv_r = gt["joints_valid_r"].astype(jnp.float32) * right_valid[:, None]
+    jv_l = gt["joints_valid_l"].astype(jnp.float32) * left_valid[:, None]
+
+    out: Dict[str, jnp.ndarray] = {}
+
+    def hand_losses(side, mano_model, cam_t, hand_valid, jv):
+        pose = pred[f"pose.{side}"]
+        beta = pred[f"beta.{side}"]
+        verts, joints = mano_forward(
+            mano_model, pose[:, :3], pose[:, 3:], beta, flat_hand_mean=False
+        )
+        j3d_cam = joints + cam_t[:, None, :]
+        v3d_cam = verts + cam_t[:, None, :]
+        j2d = camera.normalize_kp2d(camera.project2d(K, j3d_cam), img_res)
+
+        gt_pose_m = axis_angle_to_matrix(gt[f"mano.pose.{side}"].reshape(-1, 16, 3))
+        pose_m = axis_angle_to_matrix(pose.reshape(-1, 16, 3))
+
+        out[f"loss/mano/kp2d/{side}"] = joints_mean(
+            (j2d - gt[f"mano.j2d.norm.{side}"]) ** 2, jv
+        )
+        out[f"loss/mano/pose/{side}"] = masked_row_mean(
+            (pose_m - gt_pose_m) ** 2, hand_valid
+        )
+        out[f"loss/mano/beta/{side}"] = masked_row_mean(
+            (beta - gt[f"mano.beta.{side}"]) ** 2, hand_valid
+        )
+        out[f"loss/mano/cam_t/{side}"] = masked_row_mean(
+            (pred[f"root.{side}"] - gt[f"mano.cam_t.wp.{side}"]) ** 2, hand_valid
+        )
+        # root-aligned kp3d (hand_kp3d_loss -> keypoint_3d_loss: double
+        # root-subtraction is idempotent)
+        pr = j3d_cam - j3d_cam[:, :1]
+        gtr = gt[f"mano.j3d.cam.{side}"] - gt[f"mano.j3d.cam.{side}"][:, :1]
+        out[f"loss/mano/kp3d/{side}"] = joints_mean((pr - gtr) ** 2, jv)
+        return v3d_cam, j3d_cam, j2d
+
+    v3d_cam_l, _, _ = hand_losses("l", mano_l, cam_t_l, left_valid, jv_l)
+    v3d_cam_r, _, _ = hand_losses("r", mano_r, cam_t_r, right_valid, jv_r)
+
+    out["loss/object/transl"] = masked_row_mean(
+        (
+            (pred["root.o"] - pred["root.r"])
+            - (gt["object.cam_t.wp"] - gt["mano.cam_t.wp.r"])
+        )
+        ** 2,
+        right_valid,
+    )
+    out["loss/mano/transl/l"] = masked_row_mean(
+        (
+            (pred["root.l"] - pred["root.r"])
+            - (gt["mano.cam_t.wp.l"] - gt["mano.cam_t.wp.r"])
+        )
+        ** 2,
+        right_valid * left_valid,
+    )
+
+    # object FK on predictions
+    obj_out = object_forward(
+        obj_bank, pred["obj_rad"], pred["obj_rot"], gt["query_idx"]
+    )
+    kp3d_cam_o = obj_out["kp3d"] + cam_t_o[:, None, :]
+    v3d_cam_o = obj_out["v"] + cam_t_o[:, None, :]
+    kp2d_o = camera.normalize_kp2d(camera.project2d(K, kp3d_cam_o), img_res)
+
+    out["loss/object/kp2d"] = masked_row_mean(
+        (kp2d_o - gt["object.kp2d.norm"]) ** 2, is_valid
+    )
+    out["loss/object/cam_t"] = masked_row_mean(
+        (pred["root.o"] - gt["object.cam_t.wp"]) ** 2, is_valid
+    )
+    nk = kp3d_cam_o.shape[1] // 2
+    pr = kp3d_cam_o - kp3d_cam_o[:, nk : nk + 1]
+    gtr = gt["object.kp3d.cam"] - gt["object.kp3d.cam"][:, nk : nk + 1]
+    out["loss/object/kp3d"] = masked_row_mean((pr - gtr) ** 2, is_valid)
+    out["loss/object/radian"] = masked_row_mean(
+        (pred["obj_rad"][:, None] - gt["object.radian"][:, None]) ** 2, is_valid
+    )
+    out["loss/object/rot"] = masked_row_mean(
+        (pred["obj_rot"] - gt["object.rot"]) ** 2, is_valid
+    )
+    # consecutive-batch-element L1 sum (loss_modules.py obj_smt_loss)
+    out["loss/object/v3d_smoothing"] = jnp.sum(jnp.abs(v3d_cam_o[1:] - v3d_cam_o[:-1]))
+
+    # contact deviation (loss_modules.py:184-226)
+    def contact_dev(v_obj, v_hand, dist, idx, hand_valid):
+        corres = jnp.take_along_axis(v_obj, idx[:, :, None], axis=1)  # (B, 778, 3)
+        disp = jnp.linalg.norm(corres - v_hand, axis=-1)  # (B, 778)
+        contact = (dist <= CONTACT_DIST) & (hand_valid[:, None] > 0)
+        per_sample = jnp.sum(disp * contact, 1) / jnp.maximum(jnp.sum(contact, 1), 1)
+        has = jnp.sum(contact, 1) > 0
+        return jnp.sum(per_sample * has) / jnp.maximum(jnp.sum(has), 1)
+
+    cd_ro = contact_dev(v3d_cam_o, v3d_cam_r, gt["dist.ro"], gt["idx.ro"], right_valid)
+    cd_lo = contact_dev(v3d_cam_o, v3d_cam_l, gt["dist.lo"], gt["idx.lo"], left_valid)
+    out["loss/cd"] = cd_ro + cd_lo
+    return out
+
+
+# ------------------------------------------------------------ full criterion
+
+
+def arctic_criterion(
+    outputs: Dict[str, Any],
+    targets: Dict[str, jnp.ndarray],
+    mano_r: MANOModel,
+    mano_l: MANOModel,
+    obj_bank: ObjectBank,
+    img_res: float = 224.0,
+    weights: Dict[str, float] | None = None,
+    two_stage: bool = True,
+    axis_name: str | None = None,
+    cost_class: float = 2.0,
+    cost_keypoint: float = 5.0,
+):
+    """Returns (total_loss, loss_dict). All decoder layers in one vmap."""
+    if weights is None:
+        weights = DEFAULT_LOSS_WEIGHTS
+    st = outputs["stacked"]
+    L = st["pred_logits"].shape[0]
+
+    tgt_labels = targets["labels"]
+    tgt_kps = targets["keypoints"]
+    tgt_valid = targets["target_valid"] & (targets["is_valid"][:, None] > 0)
+
+    num_boxes = jnp.sum(tgt_valid).astype(jnp.float32)
+    if axis_name is not None:
+        num_boxes = jax.lax.pmean(num_boxes, axis_name)
+    num_boxes = jnp.maximum(num_boxes, 1.0)
+
+    def det_losses(logits, hand_key, obj_key):
+        assign = arctic_match(
+            logits, hand_key, obj_key, tgt_labels, tgt_kps, tgt_valid,
+            cost_class=cost_class, cost_keypoint=cost_keypoint,
+        )
+        assign = jax.lax.stop_gradient(assign)
+        l_ce = loss_labels(logits, tgt_labels, assign, tgt_valid, num_boxes)
+        if two_stage:
+            l_h, l_o = loss_keypoints(hand_key, obj_key, tgt_labels, tgt_kps, assign, tgt_valid)
+        else:
+            l_h = l_o = jnp.zeros(())
+        return l_ce, l_h, l_o
+
+    if two_stage:
+        ce_all, h_all, o_all = jax.vmap(det_losses)(
+            st["pred_logits"], st["pred_hand_key"], st["pred_obj_key"]
+        )
+    else:
+        ce_all, h_all, o_all = jax.vmap(
+            lambda lg: det_losses(lg, None, None)
+        )(st["pred_logits"])
+
+    small_all = jax.vmap(
+        lambda layer: compute_small_loss(
+            select_queries(layer), targets, mano_r, mano_l, obj_bank, img_res
+        )
+    )({k: v for k, v in st.items()})
+
+    loss_dict: Dict[str, jnp.ndarray] = {}
+    total = jnp.zeros(())
+
+    def add(name, val, layer):
+        nonlocal total
+        key = name if layer == L - 1 else f"{name}_{layer}"
+        loss_dict[key] = val
+        total = total + weights.get(name, 0.0) * val
+
+    for l in range(L):
+        add("loss_ce", ce_all[l], l)
+        if two_stage:
+            add("loss_hand_keypoint", h_all[l], l)
+            add("loss_obj_keypoint", o_all[l], l)
+        for k, v in small_all.items():
+            add(k, v[l], l)
+
+    if two_stage and "interm_outputs" in outputs and outputs["interm_outputs"] is not None:
+        io = outputs["interm_outputs"]
+        ce_i, h_i, o_i = det_losses(
+            io["pred_logits"], io["pred_hand_key"], io["pred_obj_key"]
+        )
+        for name, val in (
+            ("loss_ce", ce_i),
+            ("loss_hand_keypoint", h_i),
+            ("loss_obj_keypoint", o_i),
+        ):
+            loss_dict[f"{name}_interm"] = val
+            total = total + weights.get(name, 0.0) * val
+
+    loss_dict["total"] = total
+    return total, loss_dict

@@ -1,0 +1,146 @@
+"""ResNet-50 backbone with frozen BatchNorm, NHWC, pure flax.
+
+Capability parity with `/root/reference/models/backbone.py:27-110`
+(`FrozenBatchNorm2d`, `BackboneBase` with return_interm_layers): returns
+layer2/3/4 feature maps (strides 8/16/32, channels 512/1024/2048).
+
+Frozen BN statistics/affine params are ordinary (never-updated) parameters so
+a torchvision checkpoint can be converted 1:1 (`convert_torchvision_resnet50`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics and affine params (backbone.py:27)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        # all four are trained never; callers exclude 'backbone/.*(mean|var)'
+        # (and optionally scale/bias) from the optimizer, like the reference
+        # freezes BN entirely.
+        inv = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return x * inv + (bias - mean * inv)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv2"
+        )(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4, (1, 1), strides=self.stride, use_bias=False, name="down_conv"
+            )(x)
+            identity = FrozenBatchNorm(self.planes * 4, name="down_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    """Returns (c3, c4, c5): strides 8/16/32, channels 512/1024/2048."""
+
+    blocks: Sequence[int] = (3, 4, 6, 3)
+    return_interm_layers: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, 3)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        planes = (64, 128, 256, 512)
+        for li, (n_blocks, p) in enumerate(zip(self.blocks, planes)):
+            for bi in range(n_blocks):
+                stride = 2 if (bi == 0 and li > 0) else 1
+                x = Bottleneck(
+                    p, stride=stride, downsample=(bi == 0), name=f"layer{li + 1}_{bi}"
+                )(x)
+            if li >= 1:
+                outs.append(x)
+        if self.return_interm_layers:
+            return tuple(outs)  # (c3, c4, c5)
+        return (outs[-1],)
+
+
+RESNET50_CHANNELS = (512, 1024, 2048)
+RESNET50_STRIDES = (8, 16, 32)
+
+# ImageNet normalization (reference uses torchvision transforms)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def convert_torchvision_resnet50(state_dict) -> dict:
+    """Map a torchvision resnet50 state_dict (torch tensors or numpy) to this
+    module's parameter pytree {'params': ...}. Conv kernels OIHW -> HWIO.
+    """
+
+    def k(t):
+        a = np.asarray(t)
+        if a.ndim == 4:
+            a = a.transpose(2, 3, 1, 0)
+        return jnp.asarray(a, jnp.float32)
+
+    params: dict = {}
+
+    def put(path, val):
+        d = params
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = val
+
+    def bn(dst, src):
+        put((dst, "scale"), k(state_dict[f"{src}.weight"]))
+        put((dst, "bias"), k(state_dict[f"{src}.bias"]))
+        put((dst, "mean"), k(state_dict[f"{src}.running_mean"]))
+        put((dst, "var"), k(state_dict[f"{src}.running_var"]))
+
+    put(("conv1", "kernel"), k(state_dict["conv1.weight"]))
+    bn("bn1", "bn1")
+    blocks = (3, 4, 6, 3)
+    for li, n in enumerate(blocks):
+        for bi in range(n):
+            name = f"layer{li + 1}_{bi}"
+            src = f"layer{li + 1}.{bi}"
+            for ci in (1, 2, 3):
+                put((name, f"conv{ci}", "kernel"), k(state_dict[f"{src}.conv{ci}.weight"]))
+                bn_dst = params.setdefault(name, {})
+                put((name, f"bn{ci}", "scale"), k(state_dict[f"{src}.bn{ci}.weight"]))
+                put((name, f"bn{ci}", "bias"), k(state_dict[f"{src}.bn{ci}.bias"]))
+                put((name, f"bn{ci}", "mean"), k(state_dict[f"{src}.bn{ci}.running_mean"]))
+                put((name, f"bn{ci}", "var"), k(state_dict[f"{src}.bn{ci}.running_var"]))
+            if f"{src}.downsample.0.weight" in state_dict:
+                put((name, "down_conv", "kernel"), k(state_dict[f"{src}.downsample.0.weight"]))
+                put((name, "down_bn", "scale"), k(state_dict[f"{src}.downsample.1.weight"]))
+                put((name, "down_bn", "bias"), k(state_dict[f"{src}.downsample.1.bias"]))
+                put((name, "down_bn", "mean"), k(state_dict[f"{src}.downsample.1.running_mean"]))
+                put((name, "down_bn", "var"), k(state_dict[f"{src}.downsample.1.running_var"]))
+    return {"params": params}

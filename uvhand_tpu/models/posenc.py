@@ -1,0 +1,61 @@
+"""Sine / learned 2D position embeddings (DETR-style).
+
+Parity with `/root/reference/models/position_encoding.py` (sine default,
+normalize=True, scale=2*pi, temperature 10000; learned variant 50x50 grid).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sine_position_encoding(
+    mask: jnp.ndarray,  # (B, H, W) True = padding
+    num_pos_feats: int = 128,
+    temperature: float = 10000.0,
+    scale: float = 2 * math.pi,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Returns (B, H, W, 2*num_pos_feats)."""
+    not_mask = (~mask).astype(jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+
+    pos_x = x_embed[..., None] / dim_t  # (B, H, W, F)
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], axis=-1)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1)
+    pos_x = pos_x.reshape(pos_x.shape[:3] + (-1,))
+    pos_y = pos_y.reshape(pos_y.shape[:3] + (-1,))
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class LearnedPositionEncoding(nn.Module):
+    """Learned row/col embeddings (position_encoding.py learned variant)."""
+
+    num_pos_feats: int = 128
+    grid: int = 50
+
+    @nn.compact
+    def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:
+        B, H, W = mask.shape
+        row = self.param("row_embed", nn.initializers.uniform(1.0), (self.grid, self.num_pos_feats))
+        col = self.param("col_embed", nn.initializers.uniform(1.0), (self.grid, self.num_pos_feats))
+        x_emb = col[:W]  # (W, F)
+        y_emb = row[:H]  # (H, F)
+        pos = jnp.concatenate(
+            [
+                jnp.tile(x_emb[None, :, :], (H, 1, 1)),
+                jnp.tile(y_emb[:, None, :], (1, W, 1)),
+            ],
+            axis=-1,
+        )
+        return jnp.tile(pos[None], (B, 1, 1, 1))

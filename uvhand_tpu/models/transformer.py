@@ -1,0 +1,429 @@
+"""Deformable transformer with 42-dim (21-keypoint) reference points.
+
+Capability parity with `/root/reference/models/arctic_transformer.py`:
+  - encoder: MSDA self-attention over flattened multi-scale features with
+    per-level embeddings and grid reference points (:303-331),
+  - two-stage proposals: per-location grid + learned 40-d xy spread -> 42-d
+    proposal (:106-142, :70-71), encoder-output class/keypoint heads and
+    class-aware top-k with hand/object keypoint substitution (:193-231),
+  - proposal positional embedding 42x128 -> MLP(5376->1024->1024->512)+LN
+    (:55-63, :91-104),
+  - decoder: MHA self-attn + MSDA cross-attn, iterative reference refinement
+    gated by per-layer argmax class (hand classes {12,13}; class 0 frozen)
+    (:334-456); reference points live in [-1,1] via `sigmoid()*2-1` (:230,
+    :445) — a deliberate parity quirk of the reference.
+
+TPU-first notes: everything is static-shape; the class-gated scatter updates
+become `jnp.where` selects; the per-layer Python loop unrolls into one XLA
+program (6 layers, distinct params — scan would force weight stacking and
+block per-layer head sharing, and compile time is fine at this depth).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.msda import MSDeformAttn
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """DETR inverse_sigmoid (util/misc.py): clamp to [0,1] then logit."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.maximum(x, eps)
+    x2 = jnp.maximum(1.0 - x, eps)
+    return jnp.log(x1 / x2)
+
+
+class MLP(nn.Module):
+    """ReLU MLP; last layer linear (actic_detr.py:572-584)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, name=f"layer{i}")(x))
+        return nn.Dense(
+            self.output_dim,
+            name=f"layer{self.num_layers - 1}",
+            kernel_init=nn.initializers.xavier_uniform(),
+        )(x)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    dropout: float = 0.1
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, train: bool):
+        q = src if pos is None else src + pos
+        src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn")(
+            q, reference_points, src, spatial_shapes, padding_mask
+        )
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
+        src = nn.LayerNorm(name="norm1")(src)
+        ff = nn.Dense(self.d_ffn, name="linear1")(src)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(ff)
+        return nn.LayerNorm(name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    dropout: float = 0.1
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes, src_padding_mask, train: bool):
+        q = tgt if query_pos is None else tgt + query_pos
+        tgt2 = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            name="self_attn",
+        )(inputs_q=q, inputs_k=q, inputs_v=tgt)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
+        tgt = nn.LayerNorm(name="norm2")(tgt)
+
+        tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn")(
+            tgt if query_pos is None else tgt + query_pos,
+            reference_points,
+            src,
+            spatial_shapes,
+            src_padding_mask,
+        )
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
+        tgt = nn.LayerNorm(name="norm1")(tgt)
+
+        ff = nn.Dense(self.d_ffn, name="linear1")(tgt)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ff)
+        return nn.LayerNorm(name="norm3")(tgt)
+
+
+def encoder_reference_points(spatial_shapes, valid_ratios):
+    """Grid reference points (arctic_transformer.py:309-323). -> (B, S, L, 2)."""
+    refs = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        ry = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+        rx = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
+        ry = jnp.tile(ry, (1, W)).reshape(-1)
+        rx = jnp.tile(rx, (H, 1)).reshape(-1)
+        ry = ry[None] / (valid_ratios[:, None, lvl, 1] * H)
+        rx = rx[None] / (valid_ratios[:, None, lvl, 0] * W)
+        refs.append(jnp.stack([rx, ry], -1))
+    ref = jnp.concatenate(refs, 1)  # (B, S, 2)
+    return ref[:, :, None] * valid_ratios[:, None]
+
+
+def proposal_pos_embed(proposals: jnp.ndarray, num_pos_feats: int = 128) -> jnp.ndarray:
+    """42-d unactivated proposal -> (B, Q, 42*128) sine embedding
+    (arctic_transformer.py:91-104)."""
+    scale = 2 * math.pi
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = 10000.0 ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+    p = jax.nn.sigmoid(proposals) * scale
+    pos = p[..., None] / dim_t  # (B, Q, 42, 128)
+    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])], axis=-1)
+    return pos.reshape(pos.shape[0], pos.shape[1], -1)
+
+
+# sentinel for invalid two-stage proposals; sigmoid(1e4) == 1.0 in fp32 like
+# the reference's float('inf') but NaN-safe under autodiff
+INVALID_PROPOSAL = 1e4
+
+HAND_CLASSES = (12, 13)  # left, right (cfg.py ARCTIC class table)
+FROZEN_CLASSES = (0,)  # argmax==0 queries get no reference update
+
+
+def _class_masks(class_indices: jnp.ndarray):
+    hand = jnp.zeros_like(class_indices, dtype=bool)
+    for c in HAND_CLASSES:
+        hand |= class_indices == c
+    obj = ~hand
+    for c in FROZEN_CLASSES + HAND_CLASSES:
+        obj &= class_indices != c
+    return hand, obj
+
+
+class DeformableTransformer(nn.Module):
+    """Encoder + two-stage proposal machinery + decoder + shared heads.
+
+    The class/keypoint head stacks live here because the decoder's iterative
+    refinement is gated on them (the reference wires the same Modules into
+    the decoder, actic_detr.py:147-149); outputs expose every per-layer head
+    application so the DETR wrapper never re-runs them.
+    """
+
+    d_model: int = 256
+    n_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    num_feature_levels: int = 4
+    dec_n_points: int = 4
+    enc_n_points: int = 4
+    two_stage: bool = True
+    num_queries: int = 300
+    num_classes: int = 14
+    with_box_refine: bool = True
+    two_stage_learn_xy: bool = True
+
+    def setup(self):
+        self.enc_layers = [
+            EncoderLayer(
+                self.d_model, self.dim_feedforward, self.dropout,
+                self.num_feature_levels, self.n_heads, self.enc_n_points,
+                name=f"encoder_layer{i}",
+            )
+            for i in range(self.num_encoder_layers)
+        ]
+        self.dec_layers = [
+            DecoderLayer(
+                self.d_model, self.dim_feedforward, self.dropout,
+                self.num_feature_levels, self.n_heads, self.dec_n_points,
+                name=f"decoder_layer{i}",
+            )
+            for i in range(self.num_decoder_layers)
+        ]
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, self.d_model)
+        )
+        num_pred = self.num_decoder_layers + 1 if self.two_stage else self.num_decoder_layers
+
+        prior_prob = 0.01
+        cls_bias = -math.log((1 - prior_prob) / prior_prob)
+        if self.with_box_refine:
+            self.cls_heads = [
+                nn.Dense(
+                    self.num_classes,
+                    bias_init=nn.initializers.constant(cls_bias),
+                    name=f"cls_head{i}",
+                )
+                for i in range(num_pred)
+            ]
+            self.key_heads = [
+                MLP(self.d_model, 42, 3, name=f"key_head{i}") for i in range(num_pred)
+            ]
+            self.obj_key_heads = [
+                MLP(self.d_model, 42, 3, name=f"obj_key_head{i}") for i in range(num_pred)
+            ]
+        else:
+            self.cls_head_shared = nn.Dense(
+                self.num_classes,
+                bias_init=nn.initializers.constant(cls_bias),
+                name="cls_head_shared",
+            )
+            self.cls_heads = None
+            self.key_heads = None
+            self.obj_key_heads = None
+
+        if self.two_stage:
+            self.enc_output = nn.Dense(self.d_model, name="enc_output")
+            self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+            self.pos_trans1 = nn.Dense(1024, name="pos_trans1")
+            self.pos_trans2 = nn.Dense(1024, name="pos_trans2")
+            self.pos_trans3 = nn.Dense(2 * self.d_model, name="pos_trans3")
+            self.pos_trans_norm = nn.LayerNorm(name="pos_trans_norm")
+            if self.two_stage_learn_xy:
+                # Embedding(1, 40), init logit(0.05) (arctic_transformer.py:88-89)
+                self.learn_xy = self.param(
+                    "two_stage_learn_xy",
+                    nn.initializers.constant(math.log(0.05 / (1 - 0.05))),
+                    (40,),
+                )
+        else:
+            self.ref_point_head = nn.Dense(
+                2, kernel_init=nn.initializers.xavier_uniform(), name="reference_points"
+            )
+
+    def _cls_head(self, i):
+        return self.cls_heads[i] if self.with_box_refine else self.cls_head_shared
+
+    def _gen_proposals(self, memory, padding_mask, spatial_shapes):
+        """(memory', proposals) — gen_encoder_output_proposals (:106-142)."""
+        B, S, _ = memory.shape
+        props = []
+        cur = 0
+        for lvl, (H, W) in enumerate(spatial_shapes):
+            m = padding_mask[:, cur : cur + H * W].reshape(B, H, W)
+            valid_H = jnp.sum(~m[:, :, 0], 1).astype(jnp.float32)
+            valid_W = jnp.sum(~m[:, 0, :], 1).astype(jnp.float32)
+            gy, gx = jnp.meshgrid(
+                jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
+            )
+            grid = jnp.stack([gx, gy], -1)[None]  # (1, H, W, 2)
+            scale = jnp.stack([valid_W, valid_H], -1).reshape(B, 1, 1, 2)
+            grid = (grid + 0.5) / scale  # (B, H, W, 2)
+            if self.two_stage_learn_xy:
+                xy = jnp.ones_like(grid).repeat(20, axis=-1) * jax.nn.sigmoid(self.learn_xy) * (2.0 ** lvl)
+            else:
+                xy = jnp.ones_like(grid).repeat(20, axis=-1) * 0.05 * (2.0 ** lvl)
+            prop = jnp.concatenate([grid, xy], -1).reshape(B, H * W, 42)
+            props.append(prop)
+            cur += H * W
+        proposals = jnp.concatenate(props, 1)  # (B, S, 42)
+        valid = jnp.all((proposals > 0.01) & (proposals < 0.99), -1, keepdims=True)
+        proposals = jnp.log(proposals / (1 - proposals))
+        invalid = padding_mask[..., None] | ~valid
+        proposals = jnp.where(invalid, INVALID_PROPOSAL, proposals)
+        mem = jnp.where(padding_mask[..., None], 0.0, memory)
+        mem = jnp.where(~valid, 0.0, mem)
+        mem = self.enc_output_norm(self.enc_output(mem))
+        return mem, proposals
+
+    def __call__(
+        self,
+        srcs: Sequence[jnp.ndarray],  # L x (B, H_l, W_l, C)
+        masks: Sequence[jnp.ndarray],  # L x (B, H_l, W_l) True=pad
+        pos_embeds: Sequence[jnp.ndarray],  # L x (B, H_l, W_l, C)
+        query_embed: Optional[jnp.ndarray] = None,  # (Q, 2C) non-two-stage
+        train: bool = False,
+    ):
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        B = srcs[0].shape[0]
+
+        src_flat = jnp.concatenate([s.reshape(B, -1, self.d_model) for s in srcs], 1)
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], 1)
+        pos_flat = jnp.concatenate(
+            [
+                p.reshape(B, -1, self.d_model) + self.level_embed[l][None, None]
+                for l, p in enumerate(pos_embeds)
+            ],
+            1,
+        )
+
+        valid_ratios = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.sum(~m[:, 0, :], 1).astype(jnp.float32) / m.shape[2],
+                        jnp.sum(~m[:, :, 0], 1).astype(jnp.float32) / m.shape[1],
+                    ],
+                    -1,
+                )
+                for m in masks
+            ],
+            1,
+        )  # (B, L, 2) = (w, h)
+
+        # ---- encoder ----
+        enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        memory = src_flat
+        for layer in self.enc_layers:
+            memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
+
+        # ---- decoder inputs ----
+        enc_outputs = None
+        if self.two_stage:
+            out_mem, out_props = self._gen_proposals(memory, mask_flat, spatial_shapes)
+            enc_cls = self._cls_head(self.num_decoder_layers)(out_mem)
+            enc_hand = self.key_heads[self.num_decoder_layers](out_mem)
+            enc_obj = self.obj_key_heads[self.num_decoder_layers](out_mem)
+            # add proposal x to even dims, y to odd dims (:198-201)
+            enc_hand = enc_hand.at[..., 0::2].add(out_props[..., 0:1]).at[..., 1::2].add(out_props[..., 1:2])
+            enc_obj = enc_obj.at[..., 0::2].add(out_props[..., 0:1]).at[..., 1::2].add(out_props[..., 1:2])
+
+            topk = self.num_queries
+            scores = jnp.max(enc_cls, -1)
+            topk_idx = jax.lax.top_k(scores, topk)[1]  # (B, Q)
+            take = lambda x: jnp.take_along_axis(x, topk_idx[..., None], axis=1)
+            cls_idx = jnp.take_along_axis(jnp.argmax(enc_cls, -1), topk_idx, axis=1)
+            hand_m, obj_m = _class_masks(cls_idx)
+
+            obj_kp = jax.lax.stop_gradient(take(enc_obj))
+            hand_kp = jax.lax.stop_gradient(take(enc_hand))
+            ref_unact = jax.lax.stop_gradient(take(out_props))
+            ref_unact = jnp.where(obj_m[..., None], obj_kp, ref_unact)
+            ref_unact = jnp.where(hand_m[..., None], hand_kp, ref_unact)
+            reference_points = jax.nn.sigmoid(ref_unact) * 2 - 1  # [-1, 1] quirk
+
+            pt = nn.relu(self.pos_trans1(proposal_pos_embed(ref_unact)))
+            pt = nn.relu(self.pos_trans2(pt))
+            pt = nn.relu(self.pos_trans3(pt))
+            pt = self.pos_trans_norm(pt)
+            query_pos, tgt = jnp.split(pt, 2, axis=-1)
+            enc_outputs = {
+                "pred_logits": enc_cls,
+                "pred_hand_key_unact": enc_hand,
+                "pred_obj_key_unact": enc_obj,
+            }
+        else:
+            query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
+            query_pos = jnp.tile(query_pos[None], (B, 1, 1))
+            tgt = jnp.tile(tgt[None], (B, 1, 1))
+            reference_points = jax.nn.sigmoid(self.ref_point_head(query_pos))
+
+        init_reference = reference_points
+
+        # ---- decoder ----
+        hs_list, refs_in_list, logits_list = [], [], []
+        output = tgt
+        ref = reference_points
+        for lid, layer in enumerate(self.dec_layers):
+            if ref.shape[-1] == 42:
+                ref_input = ref[:, :, None] * jnp.tile(valid_ratios, (1, 1, 21))[:, None]
+            else:
+                ref_input = ref[:, :, None] * valid_ratios[:, None]
+            refs_in_list.append(ref)
+            output = layer(output, query_pos, ref_input, memory, spatial_shapes, mask_flat, train)
+            hs_list.append(output)
+
+            logits = self._cls_head(lid)(output)
+            logits_list.append(logits)
+            if self.with_box_refine and self.two_stage:
+                cls_idx = jnp.argmax(logits, -1)
+                hand_m, obj_m = _class_masks(cls_idx)
+                d_hand = self.key_heads[lid](output)
+                d_obj = self.obj_key_heads[lid](output)
+                delta = jnp.where(
+                    hand_m[..., None], d_hand, jnp.where(obj_m[..., None], d_obj, 0.0)
+                )
+                ref = jax.nn.sigmoid(inverse_sigmoid(ref) + delta) * 2 - 1
+                ref = jax.lax.stop_gradient(ref)
+
+        hs = jnp.stack(hs_list)  # (n_dec, B, Q, C)
+        refs_in = jnp.stack(refs_in_list)  # ref at the input of each layer
+        pred_logits = jnp.stack(logits_list)
+
+        # per-layer keypoint outputs (actic_detr.py:282-295): delta(hs_l) +
+        # inverse_sigmoid(ref input to layer l), then sigmoid*2-1
+        if self.with_box_refine and self.two_stage:
+            hand_keys, obj_keys = [], []
+            for lid in range(self.num_decoder_layers):
+                base = inverse_sigmoid(refs_in[lid])
+                hand_keys.append(jax.nn.sigmoid(self.key_heads[lid](hs[lid]) + base) * 2 - 1)
+                obj_keys.append(jax.nn.sigmoid(self.obj_key_heads[lid](hs[lid]) + base) * 2 - 1)
+            pred_hand_key = jnp.stack(hand_keys)
+            pred_obj_key = jnp.stack(obj_keys)
+        else:
+            pred_hand_key = pred_obj_key = None
+
+        return {
+            "hs": hs,
+            "init_reference": init_reference,
+            "refs_in": refs_in,
+            "pred_logits": pred_logits,
+            "pred_hand_key": pred_hand_key,
+            "pred_obj_key": pred_obj_key,
+            "enc_outputs": enc_outputs,
+            "memory": memory,
+        }
