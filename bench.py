@@ -24,6 +24,8 @@ STEPS = 20
 
 
 def main():
+    from uvhand_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,179 @@
+"""GT preprocessing: raw ARCTIC targets -> criterion/eval target schema.
+
+Capability parity with `process_data`
+(`/root/reference/arctic_tools/src/callbacks/process/process_arctic.py:7-155`)
+plus `prepare_interfield` (`process_generic.py:97-137`) and
+`estimate_translation_k` (`arctic_tools/common/camera.py:359-...`).
+
+The reference runs this on device EVERY training step, with two host
+round-trips (numpy SVD rigid fit, per-sample numpy translation solve). Here
+the whole pipeline — object FK, batched Kabsch, MANO FK, the weighted
+least-squares translation solve and the hand<->object nearest-neighbour
+fields — is one jittable function: it fuses into the train step, or can be
+precomputed offline over the dataset.
+
+Pipeline (per batch):
+  1. object FK at GT radian/rot -> canonical-space kp3d/bbox/verts,
+  2. rigid-fit camera-space object bottom kps to canonical -> (R0, T0),
+     map hand GT joints into object-canonical space,
+  3. MANO FK at GT pose/beta; translate meshes to object-cano space,
+  4. solve weak-perspective camera translation from 2D<->3D correspondence
+     of the object bottom keypoints,
+  5. emit cam-space GT + weak-perspective cams + contact fields.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera
+from ..geometry.mano import MANOModel, mano_forward
+from ..geometry.objects import ObjectBank, object_forward
+from ..geometry.rigid import rigid_transform_batch, solve_rigid_transform
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def estimate_translation_k(
+    S: jnp.ndarray,  # (B, N, 3) 3D points (object-cano space)
+    kp2d: jnp.ndarray,  # (B, N, 2) pixel coords
+    K: jnp.ndarray,  # (B, 3, 3)
+    conf: jnp.ndarray | None = None,  # (B, N)
+) -> jnp.ndarray:
+    """Weighted LSQ camera translation (camera.py:361-399), batched on-device
+    (the reference loops over the batch in numpy)."""
+    B, N, _ = S.shape
+    f = jnp.stack([K[:, 0, 0], K[:, 1, 1]], -1)  # (B, 2)
+    c = jnp.stack([K[:, 0, 2], K[:, 1, 2]], -1)
+    if conf is None:
+        conf = jnp.ones((B, N), S.dtype)
+    w = jnp.sqrt(conf)[..., None]  # (B, N, 1) weight per (x,y) pair
+
+    # rows: for each point, two equations (x and y)
+    Z = S[..., 2:]  # (B, N, 1)
+    XY = S[..., :2]  # (B, N, 2)
+    # Q rows: [f_x, 0, cx - u], [0, f_y, cy - v]
+    zeros = jnp.zeros((B, N), S.dtype)
+    Qx = jnp.stack([f[:, None, 0] + zeros, zeros, c[:, None, 0] - kp2d[..., 0]], -1)
+    Qy = jnp.stack([zeros, f[:, None, 1] + zeros, c[:, None, 1] - kp2d[..., 1]], -1)
+    Q = jnp.concatenate([Qx[:, :, None], Qy[:, :, None]], 2)  # (B, N, 2, 3)
+    rhs = (kp2d - c[:, None]) * Z - f[:, None] * XY  # (B, N, 2)
+
+    Qw = (Q * w[..., None]).reshape(B, 2 * N, 3)
+    cw = (rhs * w).reshape(B, 2 * N)
+    A = jnp.einsum("bri,brj->bij", Qw, Qw, precision=_HI)
+    b = jnp.einsum("bri,br->bi", Qw, cw, precision=_HI)
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+def nearest_point_fields(src: jnp.ndarray, dst: jnp.ndarray, dst_mask: jnp.ndarray,
+                         dist_min: float = 0.0, dist_max: float = jnp.inf):
+    """For each src point: distance to + index of nearest valid dst point.
+
+    Replaces pytorch3d knn_points K=1 (interfield.py:5-25) with a blocked
+    distance matrix — at 778 x ~4k this is a single fused matmul-sized op.
+    """
+    # |s - d|^2 = |s|^2 + |d|^2 - 2 s.d
+    d2 = (
+        jnp.sum(src**2, -1)[:, :, None]
+        + jnp.sum(dst**2, -1)[:, None, :]
+        - 2 * jnp.einsum("bnc,bmc->bnm", src, dst, precision=_HI)
+    )
+    d2 = jnp.where(dst_mask[:, None, :] > 0, d2, jnp.inf)
+    idx = jnp.argmin(d2, -1)
+    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[..., None], -1)[..., 0], 0.0))
+    return jnp.clip(dist, dist_min, dist_max), idx.astype(jnp.int32)
+
+
+def process_targets(
+    targets: Dict[str, jnp.ndarray],
+    mano_r: MANOModel,
+    mano_l: MANOModel,
+    obj_bank: ObjectBank,
+    img_res: float = 224.0,
+) -> Dict[str, jnp.ndarray]:
+    """Augment raw GT targets with camera-space GT + wp cams + contact fields.
+
+    Required input keys: mano.pose.r/l (B,48), mano.beta.r/l (B,10),
+    mano.j3d.full.r/l (B,21,3), object.kp3d.full.b (B,16,3),
+    object.kp2d.norm.b (B,16,2), object.rot (B,3), object.radian (B,),
+    query_idx (B,), intrinsics (B,3,3).
+    """
+    t = dict(targets)
+    K = t["intrinsics"]
+    B = K.shape[0]
+
+    obj = object_forward(
+        obj_bank, t["object.radian"], t["object.rot"].reshape(-1, 3), t["query_idx"]
+    )
+    nk = obj["kp3d"].shape[1] // 2
+    kp3d_b_cano = obj["kp3d"][:, nk:]
+
+    # camera coord -> object canonical space rigid fit
+    R0, T0 = solve_rigid_transform(t["object.kp3d.full.b"], kp3d_b_cano)
+    j3d_r0 = rigid_transform_batch(t["mano.j3d.full.r"], R0, T0)
+    j3d_l0 = rigid_transform_batch(t["mano.j3d.full.l"], R0, T0)
+
+    def mano_fk(model, pose, beta):
+        v, j = mano_forward(model, pose[:, :3], pose[:, 3:], beta, flat_hand_mean=False)
+        return v, j
+
+    v_r, j_r = mano_fk(mano_r, t["mano.pose.r"], t["mano.beta.r"])
+    v_l, j_l = mano_fk(mano_l, t["mano.pose.l"], t["mano.beta.l"])
+    root_cano_r = j_r[:, 0]
+    root_cano_l = j_l[:, 0]
+
+    Tr0 = jnp.mean(j3d_r0 - j_r, axis=1)
+    Tl0 = jnp.mean(j3d_l0 - j_l, axis=1)
+    v_r = v_r + Tr0[:, None]
+    v_l = v_l + Tl0[:, None]
+    j_r, j_l = j3d_r0, j3d_l0
+
+    kp2d_b = camera.unnormalize_kp2d(t["object.kp2d.norm.b"], img_res)
+    transl = estimate_translation_k(kp3d_b_cano, kp2d_b, K)
+
+    v_r = v_r + transl[:, None]
+    v_l = v_l + transl[:, None]
+    j_r = j_r + transl[:, None]
+    j_l = j_l + transl[:, None]
+    kp3d_o = obj["kp3d"] + transl[:, None]
+    bbox3d_o = obj["bbox3d"] + transl[:, None]
+    v_o = obj["v"] + transl[:, None]
+
+    cam_t_r = j_r[:, 0] - root_cano_r
+    cam_t_l = j_l[:, 0] - root_cano_l
+    avg_f = (K[:, 0, 0] + K[:, 1, 1]) / 2.0
+
+    t["mano.cam_t.r"] = cam_t_r
+    t["mano.cam_t.l"] = cam_t_l
+    t["object.cam_t"] = transl
+    t["mano.cam_t.wp.r"] = camera.perspective_to_weak_perspective(cam_t_r, avg_f, img_res)
+    t["mano.cam_t.wp.l"] = camera.perspective_to_weak_perspective(cam_t_l, avg_f, img_res)
+    t["object.cam_t.wp"] = camera.perspective_to_weak_perspective(transl, avg_f, img_res)
+    t["mano.v3d.cam.r"] = v_r
+    t["mano.v3d.cam.l"] = v_l
+    t["mano.j3d.cam.r"] = j_r
+    t["mano.j3d.cam.l"] = j_l
+    t["object.kp3d.cam"] = kp3d_o
+    t["object.bbox3d.cam"] = bbox3d_o
+    t["object.v.cam"] = v_o
+    t["object.v_len"] = obj["v_len"]
+    t["object.diameter"] = obj["diameter"]
+    t["object.parts_ids"] = obj["parts_ids"]
+    if "object.kp2d.norm.t" in t:
+        t["object.kp2d.norm"] = jnp.concatenate(
+            [t["object.kp2d.norm.t"], t["object.kp2d.norm.b"]], axis=1
+        )
+
+    # contact fields (prepare_interfield)
+    mask = obj["mask"]
+    t["dist.ro"], t["idx.ro"] = nearest_point_fields(v_r, v_o, mask)
+    t["dist.lo"], t["idx.lo"] = nearest_point_fields(v_l, v_o, mask)
+    # obj -> hand direction (dist.or / dist.ol in the reference)
+    hand_mask_r = jnp.ones(v_r.shape[:2], v_r.dtype)
+    t["dist.or"], t["idx.or"] = nearest_point_fields(v_o, v_r, hand_mask_r)
+    t["dist.ol"], t["idx.ol"] = nearest_point_fields(v_o, v_l, hand_mask_r)
+    return t
