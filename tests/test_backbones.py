@@ -1,0 +1,118 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uvhand_tpu.models.backbones.resnet import (
+    ResNet50, convert_torchvision_resnet50,
+)
+from uvhand_tpu.models.backbones.swin import SwinTransformer, shifted_window_mask
+
+
+def test_resnet_shapes():
+    model = ResNet50()
+    x = jnp.zeros((1, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 28, 28, 512), (1, 14, 14, 1024), (1, 7, 7, 2048)
+    ]
+
+
+def test_resnet_matches_torchvision():
+    """Frozen-BN JAX ResNet50 == torchvision resnet50 feature maps.
+    Skipped when torchvision is unavailable (not in this image); the
+    converter is still exercised structurally below."""
+    torchvision = __import__("pytest").importorskip("torchvision")
+    import torch
+
+    tv = torchvision.models.resnet50()
+    tv.eval()
+    params = convert_torchvision_resnet50(tv.state_dict())
+    model = ResNet50()
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    ours = model.apply(params, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        feats = []
+        y = tv.conv1(t); y = tv.bn1(y); y = tv.relu(y); y = tv.maxpool(y)
+        y = tv.layer1(y)
+        y = tv.layer2(y); feats.append(y)
+        y = tv.layer3(y); feats.append(y)
+        y = tv.layer4(y); feats.append(y)
+    for o, f in zip(ours, feats):
+        np.testing.assert_allclose(
+            np.asarray(o), f.numpy().transpose(0, 2, 3, 1), atol=2e-3
+        )
+
+
+def _fake_torchvision_state_dict(rng):
+    """torchvision-resnet50-shaped random state_dict (OIHW numpy)."""
+    sd = {}
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32) * 0.1 + 1
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[f"{name}.running_var"] = np.abs(rng.normal(size=c)).astype(np.float32) + 0.5
+
+    sd["conv1.weight"] = rng.normal(size=(64, 3, 7, 7)).astype(np.float32) * 0.05
+    bn("bn1", 64)
+    blocks = (3, 4, 6, 3)
+    planes = (64, 128, 256, 512)
+    inc = 64
+    for li, (n, p) in enumerate(zip(blocks, planes)):
+        for bi in range(n):
+            pre = f"layer{li+1}.{bi}"
+            sd[f"{pre}.conv1.weight"] = rng.normal(size=(p, inc, 1, 1)).astype(np.float32) * 0.05
+            bn(f"{pre}.bn1", p)
+            sd[f"{pre}.conv2.weight"] = rng.normal(size=(p, p, 3, 3)).astype(np.float32) * 0.05
+            bn(f"{pre}.bn2", p)
+            sd[f"{pre}.conv3.weight"] = rng.normal(size=(p * 4, p, 1, 1)).astype(np.float32) * 0.05
+            bn(f"{pre}.bn3", p * 4)
+            if bi == 0:
+                sd[f"{pre}.downsample.0.weight"] = rng.normal(size=(p * 4, inc, 1, 1)).astype(np.float32) * 0.05
+                bn(f"{pre}.downsample.1", p * 4)
+            inc = p * 4
+    return sd
+
+
+def test_resnet_converter_structure(rng):
+    sd = _fake_torchvision_state_dict(rng)
+    params = convert_torchvision_resnet50(sd)
+    model = ResNet50()
+    x = jnp.zeros((1, 64, 64, 3))
+    ref = model.init(jax.random.PRNGKey(0), x)
+    # converted tree must exactly match the module's parameter structure
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths, ref_paths.symmetric_difference(got_paths)
+    outs = model.apply(params, x)
+    assert outs[-1].shape == (1, 2, 2, 2048)
+
+
+def test_swin_tiny_shapes():
+    model = SwinTransformer.swin_t()
+    x = jnp.zeros((1, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 28, 28, 192), (1, 14, 14, 384), (1, 7, 7, 768)
+    ]
+
+
+def test_swin_l_shapes_small_input():
+    model = SwinTransformer.swin_l_384()
+    x = jnp.zeros((1, 96, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(params, x)
+    assert [o.shape[-1] for o in outs] == [384, 768, 1536]
+
+
+def test_shifted_window_mask_blocks():
+    m = shifted_window_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    # top-left window has no boundaries -> all zero
+    assert (m[0] == 0).all()
+    # other windows must have some -100 entries
+    assert (m[-1] == -100).any()

@@ -1,0 +1,217 @@
+"""Swin Transformer backbone (Liu et al. 2021) in flax, NHWC.
+
+Capability parity with `/root/reference/models/swin_transformer.py` (used as
+`swin_L_384_22k`: embed 192, depths [2,2,18,2], heads [6,12,24,48], window 12,
+out channels [384, 768, 1536] — build at :683-727). Re-implemented from the
+paper/public spec: windowed MSA with relative position bias, shifted windows
+with attention masks, patch merging, pre-norm blocks, per-output LayerNorm.
+
+TPU notes: window partition is pure reshape/transpose (layout-friendly);
+attention over (num_windows*B, 144, C) batches onto the MXU; the shifted-
+window mask is precomputed per (H, W) at trace time (static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def window_partition(x, ws):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+
+def window_reverse(wins, ws, H, W):
+    B = wins.shape[0] // (H * W // ws // ws)
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0) + ws - 1
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """(num_windows, N, N) additive mask, -100 across region boundaries."""
+    img = np.zeros((1, H, W, 1), np.float32)
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, h, w, :] = cnt
+            cnt += 1
+    wins = np.reshape(
+        img.reshape(1, H // ws, ws, W // ws, ws, 1).transpose(0, 1, 3, 2, 4, 5),
+        (-1, ws * ws),
+    )
+    mask = wins[:, None, :] - wins[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B_, N, C = x.shape
+        h = self.num_heads
+        head_dim = C // h
+        scale = head_dim**-0.5
+
+        rpb_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h),
+        )
+        rpi = relative_position_index(self.window_size)
+        bias = rpb_table[rpi.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B_, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4), 3)
+        q, k, v = q[0], k[0], v[0]  # (B_, h, N, hd)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+        attn = attn + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, h, N, N) + mask[None, :, None]
+            attn = attn.reshape(B_, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, H, W, train: bool):
+        B, L, C = x.shape
+        ws = min(self.window_size, H, W)
+        shift = self.shift if ws == self.window_size else 0
+
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x).reshape(B, H, W, C)
+
+        pad_b = (ws - H % ws) % ws
+        pad_r = (ws - W % ws) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
+
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))
+        else:
+            mask = None
+
+        wins = window_partition(x, ws)
+        wins = WindowAttention(C, self.num_heads, ws, name="attn")(wins, mask)
+        x = window_reverse(wins, ws, Hp, Wp)
+
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :H, :W]
+        x = x.reshape(B, L, C)
+
+        def drop_path(v, rng_name):
+            if self.drop_path <= 0 or not train:
+                return v
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            m = jax.random.bernoulli(rng, keep, (B, 1, 1)).astype(v.dtype)
+            return v * m / keep
+
+        x = shortcut + drop_path(x, "dp1")
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, name="fc2")(y)
+        return x + drop_path(y, "dp2")
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, H, W):
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], -1).reshape(B, -1, 4 * C)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    embed_dim: int = 192
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (6, 12, 24, 48)
+    window_size: int = 12
+    out_indices: Sequence[int] = (1, 2, 3)
+    drop_path_rate: float = 0.2
+
+    @classmethod
+    def swin_l_384(cls, **kw):
+        return cls(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+                   window_size=12, **kw)
+
+    @classmethod
+    def swin_t(cls, **kw):
+        return cls(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                   window_size=7, **kw)
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        B, H, W, _ = images.shape
+        x = nn.Conv(self.embed_dim, (4, 4), strides=4, name="patch_embed")(images)
+        Hc, Wc = x.shape[1], x.shape[2]
+        x = nn.LayerNorm(name="patch_norm")(x.reshape(B, -1, self.embed_dim))
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        outs = []
+        dim = self.embed_dim
+        blk_id = 0
+        for si, depth in enumerate(self.depths):
+            for bi in range(depth):
+                x = SwinBlock(
+                    dim, self.num_heads[si], self.window_size,
+                    shift=0 if bi % 2 == 0 else self.window_size // 2,
+                    drop_path=float(dpr[blk_id]),
+                    name=f"stage{si}_block{bi}",
+                )(x, Hc, Wc, train)
+                blk_id += 1
+            if si in self.out_indices:
+                y = nn.LayerNorm(name=f"out_norm{si}")(x)
+                outs.append(y.reshape(B, Hc, Wc, dim))
+            if si < len(self.depths) - 1:
+                x = PatchMerging(dim, name=f"merge{si}")(x, Hc, Wc)
+                Hc, Wc = (Hc + 1) // 2, (Wc + 1) // 2
+                dim *= 2
+        return tuple(outs)
+
+
+SWIN_L_CHANNELS = (384, 768, 1536)
