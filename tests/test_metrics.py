@@ -76,6 +76,6 @@ def test_invalid_frames_are_nan(rng):
 def test_acc_pose_shape(rng):
     pred, targets = build(rng)
     out = M.eval_acc_pose(pred, targets)
-    assert out["acc_err/h"].shape == (B,)
-    assert np.isnan(np.asarray(out["acc_err/h"])[0])  # padded ends
+    assert out["acc/h"].shape == (B,)
+    assert np.isnan(np.asarray(out["acc/h"])[0])  # padded ends
     # perfect predictions: middle entries 0 or nan depending on window

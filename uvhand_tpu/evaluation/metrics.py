@@ -181,8 +181,8 @@ def eval_acc_pose(pred, targets, fps: float = 30.0) -> Dict[str, jnp.ndarray]:
 
     pad = jnp.full((1,), NAN)
     return {
-        "acc_err/h": jnp.concatenate([pad, acc_h, pad]),
-        "acc_err/o": jnp.concatenate([pad, acc_o, pad]),
+        "acc/h": jnp.concatenate([pad, acc_h, pad]),
+        "acc/o": jnp.concatenate([pad, acc_o, pad]),
     }
 
 
