@@ -1,0 +1,72 @@
+"""End-to-end data pipeline on a synthetic ARCTIC-layout root."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uvhand_tpu.data import arctic, loader, process
+from uvhand_tpu.geometry import mano, objects
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("arctic"))
+    arctic.make_synthetic_root(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def world():
+    bank = objects.synthetic_object_bank(2)
+    return (
+        mano.synthetic_mano(0, True),
+        mano.synthetic_mano(1, False),
+        bank,
+        np.asarray(bank.kp_bottom),
+    )
+
+
+def test_dataset_deterministic(root, world):
+    _, _, _, cano = world
+    ds1 = arctic.ArcticDataset(root, "p1", "train", kp3d_cano=cano, seed=7)
+    ds2 = arctic.ArcticDataset(root, "p1", "train", kp3d_cano=cano, seed=7)
+    a, b = ds1[3], ds2[3]
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["mano.pose.r"], b["mano.pose.r"])
+    ds3 = arctic.ArcticDataset(root, "p1", "train", kp3d_cano=cano, seed=8)
+    assert np.abs(ds3[3]["images"] - a["images"]).max() > 0  # different aug
+
+
+def test_val_no_augmentation(root, world):
+    _, _, _, cano = world
+    ds = arctic.ArcticDataset(root, "p1", "val", kp3d_cano=cano)
+    a = ds[0]
+    ds2 = arctic.ArcticDataset(root, "p1", "val", kp3d_cano=cano, seed=99)
+    np.testing.assert_array_equal(a["images"], ds2[0]["images"])
+
+
+def test_loader_and_process_to_criterion_schema(root, world):
+    mano_r, mano_l, bank, cano = world
+    ds = arctic.ArcticDataset(root, "p1", "train", kp3d_cano=cano)
+    dl = loader.DataLoader(ds, batch_size=4, num_workers=2)
+    batch = next(iter(dl))
+    assert batch["images"].shape == (4, 224, 224, 3)
+    assert batch["labels"].shape == (4, 3)
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    targets = process.process_targets(jb, mano_r, mano_l, bank)
+    for key in ["mano.j3d.cam.r", "mano.cam_t.wp.r", "object.kp3d.cam",
+                "object.kp2d.norm", "dist.ro", "idx.ro"]:
+        assert key in targets, key
+        assert np.isfinite(np.asarray(targets[key])).all(), key
+
+
+def test_device_prefetch(root, world):
+    _, _, _, cano = world
+    ds = arctic.ArcticDataset(root, "p1", "train", kp3d_cano=cano)
+    dl = loader.DataLoader(ds, batch_size=2, num_workers=2)
+    n = 0
+    for batch in loader.device_prefetch(dl):
+        assert hasattr(batch["images"], "devices")  # on device
+        n += 1
+    assert n == len(dl)

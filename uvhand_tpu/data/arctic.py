@@ -1,0 +1,404 @@
+"""ARCTIC dataset: split loading, cropping/augmentation, static-schema samples.
+
+Capability parity with `ArcticDataset`
+(`/root/reference/arctic_tools/src/datasets/arctic_dataset.py:22-485`) and the
+speedup/crop path (`src/datasets/dataset_utils.py:34-88`), re-designed for a
+static-shape TPU input pipeline:
+
+  - `__getitem__` returns ONE flat dict of fixed-shape numpy arrays — the
+    criterion/process target schema — instead of nested torch dicts with
+    ragged label lists. Labels/keypoints are padded to 3 slots (object, left,
+    right) with a validity mask.
+  - augmentation (rot 180, scale 0.5, pixel noise 0.4; arctic_dataset.py:155)
+    is driven by a per-(seed, index) Generator — deterministic, resumable.
+  - the UVHand DETR keypoint renormalization (x/840, y->160y/(600*224)+32/224;
+    arctic_dataset.py:384-395) is applied for the 42-d matching targets.
+
+Works against the official ARCTIC file layout; `make_synthetic_root` writes a
+miniature structurally-identical dataset so the whole pipeline is testable
+without the (licensed) real data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as op
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..geometry.objects import OBJECT_NAMES
+from . import augment
+
+# ARCTIC class table (reference cfg.py): 0=bg-ish, 1..11 objects, 12/13 hands
+OBJ2IDX = {name: i + 1 for i, name in enumerate(OBJECT_NAMES)}
+HAND_IDX = (12, 13)  # left, right
+NUM_CLASSES = 14
+T_SLOTS = 3  # object, left hand, right hand
+
+
+def transform_kp2d_crop(kp2d, bbox):
+    """data_utils.transform_kp2d: full image coords -> cropped image coords."""
+    cx, cy, scale = bbox
+    s = 200 * scale
+    factor = 1000.0 / (1.5 * s)
+    out = np.copy(kp2d)
+    out[:, 0] = (out[:, 0] - (cx - 1.5 / 2 * s)) * factor
+    out[:, 1] = (out[:, 1] - (cy - 1.5 / 2 * s)) * factor
+    return out
+
+
+class ArcticDataset:
+    def __init__(
+        self,
+        root: str,
+        setup: str = "p1",
+        split: str = "train",
+        img_res: int = 224,
+        focal_length: float = 1000.0,
+        use_gt_k: bool = False,
+        speedup: bool = True,
+        ego_image_scale: float = 0.3,
+        aug: Optional[bool] = None,
+        seed: int = 0,
+        kp3d_cano: Optional[np.ndarray] = None,  # (O, 16, 3) object bottom kps
+        two_stage: bool = True,
+    ):
+        self.root = root
+        self.img_res = img_res
+        self.focal_length = focal_length
+        self.use_gt_k = use_gt_k
+        self.speedup = speedup
+        self.ego_image_scale = ego_image_scale
+        self.split = split
+        self.aug = split.endswith("train") if aug is None else aug
+        self.seed = seed
+        self.two_stage = two_stage
+
+        short = split.replace("mini", "").replace("tiny", "").replace("small", "")
+        data = np.load(
+            op.join(root, f"splits/{setup}_{short}.npy"), allow_pickle=True
+        ).item()
+        self.data = data["data_dict"]
+        self.imgnames = list(data["imgnames"])
+        with open(op.join(root, "meta/misc.json")) as f:
+            misc = json.load(f)
+        self.intris_mat = {s: m["intris_mat"] for s, m in misc.items()}
+        self.image_sizes = {s: m["image_size"] for s, m in misc.items()}
+        self.ioi_offset = {s: m["ioi_offset"] for s, m in misc.items()}
+        self.kp3d_cano = kp3d_cano  # meters
+        self.egocam_k = None
+
+    def __len__(self):
+        return len(self.imgnames)
+
+    def _img_path(self, imgname: str) -> str:
+        p = imgname
+        if self.speedup:
+            p = p.replace("/images/", "/cropped_images/")
+        # strip the "./arctic_data/data" style prefix down to our root
+        parts = p.split("/")
+        i = parts.index("cropped_images") if "cropped_images" in parts else parts.index("images")
+        return op.join(self.root, *parts[i:])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        imgname = self.imgnames[index]
+        rng = np.random.default_rng((self.seed, index))
+        sid, seq_name, view_s, image_idx = imgname.split("/")[-4:]
+        obj_name = "".join(c for c in seq_name.split("_")[0] if not c.isdigit())
+        view_idx = int(view_s)
+        seq = self.data[f"{sid}/{seq_name}"]
+        cam, d2, bbox_all, params = seq["cam_coord"], seq["2d"], seq["bbox"], seq["params"]
+
+        vidx = int(image_idx.split(".")[0]) - self.ioi_offset[sid]
+        is_valid = float(cam["is_valid"][vidx, view_idx])
+        right_valid = int(cam["right_valid"][vidx, view_idx])
+        left_valid = int(cam["left_valid"][vidx, view_idx])
+
+        if view_idx == 0:
+            intrx = np.array(params["K_ego"][vidx], np.float32)
+        else:
+            intrx = np.array(self.intris_mat[sid][view_idx - 1], np.float32)
+
+        j2d_r = augment.pad_jts2d(np.array(d2["joints.right"][vidx, view_idx], np.float64))
+        j2d_l = augment.pad_jts2d(np.array(d2["joints.left"][vidx, view_idx], np.float64))
+        j3d_r = np.array(cam["joints.right"][vidx, view_idx], np.float32)
+        j3d_l = np.array(cam["joints.left"][vidx, view_idx], np.float32)
+        pose_r = np.concatenate([cam["rot_r_cam"][vidx, view_idx], params["pose_r"][vidx]]).astype(np.float64)
+        pose_l = np.concatenate([cam["rot_l_cam"][vidx, view_idx], params["pose_l"][vidx]]).astype(np.float64)
+        beta_r = np.array(params["shape_r"][vidx], np.float32)
+        beta_l = np.array(params["shape_l"][vidx], np.float32)
+
+        bbox2d = augment.pad_jts2d(np.array(d2["bbox3d"][vidx, view_idx], np.float64))
+        bbox3d = np.array(cam["bbox3d"][vidx, view_idx], np.float32)
+        kp2d = augment.pad_jts2d(np.array(d2["kp3d"][vidx, view_idx], np.float64))
+        kp3d = np.array(cam["kp3d"][vidx, view_idx], np.float32)
+        radian = np.float32(params["obj_arti"][vidx])
+
+        bbox = list(np.array(bbox_all[vidx, view_idx], np.float64))
+        is_egocam = view_idx == 0
+
+        kp2d_t, kp2d_b = kp2d[:16], kp2d[16:]
+        bbox2d_t, bbox2d_b = bbox2d[:8], bbox2d[8:]
+        kp3d_t, kp3d_b = kp3d[:16], kp3d[16:]
+
+        # speedup crop coordinate change (dataset_utils.py:55-76)
+        if self.speedup:
+            if is_egocam:
+                for a in (j2d_r, j2d_l, kp2d_b, kp2d_t, bbox2d_b, bbox2d_t):
+                    a[:, :2] *= self.ego_image_scale
+                bbox = [v * self.ego_image_scale for v in bbox]
+            else:
+                j2d_r = transform_kp2d_crop(j2d_r, bbox)
+                j2d_l = transform_kp2d_crop(j2d_l, bbox)
+                kp2d_b = transform_kp2d_crop(kp2d_b, bbox)
+                kp2d_t = transform_kp2d_crop(kp2d_t, bbox)
+                bbox2d_b = transform_kp2d_crop(bbox2d_b, bbox)
+                bbox2d_t = transform_kp2d_crop(bbox2d_t, bbox)
+                bbox = [500.0, 500.0, 1000.0 / (1.5 * 200)]
+
+        center = [bbox[0], bbox[1]]
+        scale = bbox[2]
+
+        augm = augment.augm_params(rng, self.aug)
+        use_gt_k = self.use_gt_k
+        if is_egocam:
+            use_gt_k = True
+            augm["sc"] = 1.0
+
+        import cv2
+
+        img_path = self._img_path(imgname)
+        cv_img = cv2.imread(img_path)
+        img_ok = cv_img is not None
+        if not img_ok:
+            cv_img = np.zeros((600, 840, 3), np.float32)
+            is_valid = 0.0
+        else:
+            cv_img = cv2.cvtColor(cv_img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+        j2d_r = augment.j2d_processing(j2d_r, center, scale, augm, self.img_res)
+        j2d_l = augment.j2d_processing(j2d_l, center, scale, augm, self.img_res)
+        kp2d_b = augment.j2d_processing(kp2d_b, center, scale, augm, self.img_res)
+        kp2d_t = augment.j2d_processing(kp2d_t, center, scale, augm, self.img_res)
+        bbox2d_b = augment.j2d_processing(bbox2d_b, center, scale, augm, self.img_res)
+        bbox2d_t = augment.j2d_processing(bbox2d_t, center, scale, augm, self.img_res)
+
+        img = augment.rgb_processing(cv_img, center, scale, augm, self.img_res)
+        img = augment.normalize_image(img)
+
+        pose_r = augment.pose_processing(pose_r, augm)
+        pose_l = augment.pose_processing(pose_l, augm)
+
+        # object canonical rotation via rigid fit + augmentation rotation
+        # (arctic_dataset.py:277-290)
+        if self.kp3d_cano is not None:
+            obj_idx = OBJECT_NAMES.index(obj_name)
+            cano = np.asarray(self.kp3d_cano[obj_idx], np.float64)
+            R = _kabsch_np(cano, kp3d_b.astype(np.float64))
+            import cv2 as _cv2
+
+            aa, _ = _cv2.Rodrigues(R)
+            obj_rot = augment.rot_aa(aa[:, 0], augm["rot"])
+            query_idx = obj_idx
+        else:
+            obj_rot = np.zeros(3, np.float32)
+            query_idx = 0
+
+        sc_orig = max(self.image_sizes[sid][view_idx]) / 200.0
+        c_orig = [s / 2.0 for s in self.image_sizes[sid][view_idx]]
+        K = augment.get_aug_intrinsics(
+            intrx, self.focal_length, self.img_res, use_gt_k,
+            c_orig[0], c_orig[1], augm["sc"] * sc_orig,
+        )
+        if is_egocam:
+            if self.egocam_k is None:
+                self.egocam_k = K
+            else:
+                K = self.egocam_k
+
+        # DETR matching targets (3 padded slots: object, left, right)
+        labels = np.full(T_SLOTS, -1, np.int32)
+        keypoints = np.zeros((T_SLOTS, 42), np.float32)
+        tvalid = np.zeros(T_SLOTS, bool)
+        labels[0] = OBJ2IDX[obj_name]
+        tvalid[0] = True
+        if self.two_stage:
+            small_obj_idx = [i for i in range(32) if i % 3 != 0]
+            obj_kps = np.concatenate([kp2d_t, kp2d_b], 0)[small_obj_idx, :2][:21]
+            keypoints[0] = augment.renormalize_keypoints_for_detr(
+                obj_kps, center, augm["sc"] * scale, self.img_res
+            ).reshape(42)
+        if left_valid:
+            labels[1] = HAND_IDX[0]
+            tvalid[1] = True
+            if self.two_stage:
+                keypoints[1] = augment.renormalize_keypoints_for_detr(
+                    j2d_l[:, :2], center, augm["sc"] * scale, self.img_res
+                ).reshape(42)
+        if right_valid:
+            labels[2] = HAND_IDX[1]
+            tvalid[2] = True
+            if self.two_stage:
+                keypoints[2] = augment.renormalize_keypoints_for_detr(
+                    j2d_r[:, :2], center, augm["sc"] * scale, self.img_res
+                ).reshape(42)
+
+        return {
+            "images": img.astype(np.float32),
+            "labels": labels,
+            "keypoints": keypoints,
+            "target_valid": tvalid,
+            "is_valid": np.float32(is_valid),
+            "left_valid": np.float32(left_valid * is_valid),
+            "right_valid": np.float32(right_valid * is_valid),
+            "joints_valid_r": np.full(21, right_valid * is_valid, np.float32),
+            "joints_valid_l": np.full(21, left_valid * is_valid, np.float32),
+            "mano.pose.r": pose_r.astype(np.float32),
+            "mano.pose.l": pose_l.astype(np.float32),
+            "mano.beta.r": beta_r,
+            "mano.beta.l": beta_l,
+            "mano.j2d.norm.r": j2d_r[:, :2],
+            "mano.j2d.norm.l": j2d_l[:, :2],
+            "mano.j3d.full.r": j3d_r,
+            "mano.j3d.full.l": j3d_l,
+            "object.kp2d.norm.t": kp2d_t[:, :2],
+            "object.kp2d.norm.b": kp2d_b[:, :2],
+            "object.bbox2d.norm.t": bbox2d_t[:, :2],
+            "object.bbox2d.norm.b": bbox2d_b[:, :2],
+            "object.kp3d.full.b": kp3d_b,
+            "object.kp3d.full.t": kp3d_t,
+            "object.radian": radian,
+            "object.rot": obj_rot.astype(np.float32),
+            "intrinsics": K.astype(np.float32),
+            "query_idx": np.int32(query_idx),
+            "imgname": imgname,
+        }
+
+
+def _kabsch_np(A, B):
+    """R such that B ~= R @ A (solve_rigid_tf_np, transforms.py:128)."""
+    cA, cB = A.mean(0), B.mean(0)
+    H = (A - cA).T @ (B - cB)
+    U, S, Vt = np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:
+        Vt = Vt.copy()
+        Vt[2] *= -1
+        R = Vt.T @ U.T
+    return R
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack static-shape samples into batch arrays (drops string keys)."""
+    out = {}
+    for k in samples[0]:
+        if k == "imgname":
+            continue
+        out[k] = np.stack([s[k] for s in samples], 0)
+    return out
+
+
+def create_windows(imgnames: List[str], window_size: int) -> List[List[str]]:
+    """Group per (subject, seq, view), chunk into non-overlapping windows,
+    pad the last window with its final element
+    (tempo_inference_dataset.py:15-42)."""
+    groups: Dict[str, List[str]] = {}
+    for n in imgnames:
+        sid, seq, view, _ = n.split("/")[-4:]
+        groups.setdefault(f"{sid}/{seq}/{view}", []).append(n)
+    windows = []
+    for key in groups:
+        names = sorted(groups[key])
+        for i in range(0, len(names), window_size):
+            w = names[i : i + window_size]
+            while len(w) < window_size:
+                w.append(w[-1])
+            windows.append(w)
+    return windows
+
+
+def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: int = 2,
+                        seed: int = 0, image_hw=(600, 840)) -> None:
+    """Write a miniature ARCTIC-layout dataset for pipeline tests."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(op.join(path, "splits"), exist_ok=True)
+    os.makedirs(op.join(path, "meta"), exist_ok=True)
+
+    sid = "s01"
+    misc = {
+        sid: {
+            "intris_mat": [
+                [[1000.0, 0, 420], [0, 1000.0, 300], [0, 0, 1]]
+                for _ in range(max(views - 1, 1))
+            ],
+            "world2cam": [np.eye(4).tolist() for _ in range(max(views - 1, 1))],
+            "image_size": [[840, 600] for _ in range(views)],
+            "ioi_offset": 0,
+        }
+    }
+    with open(op.join(path, "meta/misc.json"), "w") as f:
+        json.dump(misc, f)
+
+    data_dict = {}
+    imgnames = []
+    H, W = image_hw
+    for s in range(num_seqs):
+        obj = OBJECT_NAMES[s % len(OBJECT_NAMES)]
+        seq_name = f"{obj}_use_{s:02d}"
+        F, V = frames, views
+        mk = lambda *shape: rng.normal(size=shape).astype(np.float32)
+        j2d = lambda *shape: rng.uniform(100, 500, size=shape).astype(np.float32)
+        data_dict[f"{sid}/{seq_name}"] = {
+            "cam_coord": {
+                "joints.right": mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
+                "joints.left": mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
+                "bbox3d": mk(F, V, 16, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
+                "kp3d": mk(F, V, 32, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
+                "rot_r_cam": mk(F, V, 3) * 0.3,
+                "rot_l_cam": mk(F, V, 3) * 0.3,
+                "is_valid": np.ones((F, V), np.float32),
+                "right_valid": np.ones((F, V), np.int64),
+                "left_valid": np.ones((F, V), np.int64),
+            },
+            "2d": {
+                "joints.right": j2d(F, V, 21, 2),
+                "joints.left": j2d(F, V, 21, 2),
+                "bbox3d": j2d(F, V, 16, 2),
+                "kp3d": j2d(F, V, 32, 2),
+            },
+            "bbox": np.concatenate(
+                [
+                    rng.uniform(250, 350, size=(F, V, 2)),
+                    rng.uniform(1.2, 1.6, size=(F, V, 1)),
+                ],
+                axis=2,
+            ).astype(np.float32),
+            "params": {
+                "K_ego": np.tile(np.array([[600.0, 0, 420], [0, 600.0, 300], [0, 0, 1]], np.float32), (F, 1, 1)),
+                "pose_r": mk(F, 45) * 0.2,
+                "pose_l": mk(F, 45) * 0.2,
+                "shape_r": mk(F, 10) * 0.5,
+                "shape_l": mk(F, 10) * 0.5,
+                "dist": mk(F, 8) * 0.01,
+                "obj_arti": np.abs(mk(F)) * 0.5,
+            },
+        }
+        for v in range(V):
+            for fidx in range(F):
+                name = f"./arctic_data/data/images/{sid}/{seq_name}/{v}/{fidx:05d}.jpg"
+                imgnames.append(name)
+                d = op.join(path, "cropped_images", sid, seq_name, str(v))
+                os.makedirs(d, exist_ok=True)
+                img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
+                cv2.imwrite(op.join(d, f"{fidx:05d}.jpg"), img)
+
+    for split in ("train", "val"):
+        np.save(
+            op.join(path, f"splits/p1_{split}.npy"),
+            {"data_dict": data_dict, "imgnames": imgnames},
+            allow_pickle=True,
+        )

@@ -1,0 +1,102 @@
+"""Data loading: threaded host workers + double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader + CUDA-stream prefetcher
+(`/root/reference/datasets/arctic_prefetcher.py:10-110`,
+`util/settings.py:589-624`): cv2/numpy decode+augment runs in a thread pool
+(cv2 releases the GIL), finished batches are `jax.device_put` one step ahead
+so H2D overlaps compute. Sharding-aware: pass a NamedSharding to place each
+batch directly over the mesh data axis.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from .arctic import collate
+
+
+class DataLoader:
+    """Minimal deterministic loader: shuffle per epoch, drop_last for train."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        collate_fn: Callable = collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.collate_fn = collate_fn
+        # two pools: batch orchestration and per-sample work. A single pool
+        # deadlocks — fetch() runs IN the pool and would block on map() into
+        # the same saturated pool.
+        self.batch_pool = ThreadPoolExecutor(max_workers=2)
+        self.sample_pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        nb = len(self)
+        # pipeline: submit fetches for a couple of batches ahead
+        ahead = 3
+        futures = collections.deque()
+
+        def fetch(batch_ids):
+            samples = list(self.sample_pool.map(self.dataset.__getitem__, batch_ids))
+            return self.collate_fn(samples)
+
+        submit = 0
+        for b in range(nb):
+            while submit < min(nb, b + ahead):
+                ids = idx[submit * self.batch_size : (submit + 1) * self.batch_size]
+                futures.append(self.batch_pool.submit(fetch, ids))
+                submit += 1
+            yield futures.popleft().result()
+
+
+def device_prefetch(iterator, sharding=None, buffer: int = 2):
+    """Move batches to device `buffer` steps ahead (arctic_prefetcher.py TPU
+    equivalent — double buffering into HBM)."""
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(buffer):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
