@@ -1,0 +1,110 @@
+"""Train / eval epoch loops.
+
+Parity with `/root/reference/engine.py` (`train_pose:537`, `test_pose:700`):
+  - train: GT preprocessing + forward + criterion + optimizer fused into ONE
+    jitted step (the reference runs GT FK, matching and six aux losses as
+    separate device/host phases per step),
+  - NaN-loss guard aborts training (engine.py:626-630),
+  - eval: forward -> query select -> decode -> per-frame metrics, all on
+    device; NaN frames dropped in the host-side aggregation
+    (engine.py:784-791).
+
+Distribution: params replicated, batch sharded over the mesh's data axis —
+XLA inserts the DDP-equivalent gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.loader import device_prefetch
+from .data.process import process_targets
+from .evaluation.decode import decode_predictions
+from .evaluation.metrics import measure_error
+from .losses.criterion import arctic_criterion, select_queries
+from .utils.logging import MetricLogger
+
+
+def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
+                          weights=None, two_stage=True):
+    """Raw batch -> GT preprocess -> fwd -> criterion -> update, one program."""
+
+    def loss_fn(params, batch, rng):
+        targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
+        targets = jax.lax.stop_gradient(targets)
+        outputs = model.apply(
+            {"params": params}, batch["images"], train=True,
+            rngs={"dropout": rng, "feature_mask": jax.random.fold_in(rng, 1)},
+        )
+        return arctic_criterion(
+            outputs, targets, mano_r, mano_l, obj_bank,
+            img_res=img_res, weights=weights, two_stage=two_stage,
+        )
+
+    # NOTE: no donation — flax TrainState + multi_transform opt state contains
+    # aliased leaves on this jax version; donation deletes them once and the
+    # second reference trips "Array has been deleted".
+    @jax.jit
+    def step(state, batch, rng):
+        (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, ld
+
+    return step
+
+
+def make_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0):
+    """Forward + decode + per-frame metrics in one jitted program."""
+
+    @jax.jit
+    def step(params, batch):
+        targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
+        outputs = model.apply({"params": params}, batch["images"], train=False)
+        st = outputs["stacked"]
+        last = {k: v[-1] for k, v in st.items()}
+        selected = select_queries(last)
+        pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
+        metrics = measure_error(pred, targets)
+        return metrics
+
+    return step
+
+
+def train_one_epoch(state, step_fn, loader, epoch: int, rng,
+                    sharding=None, print_freq: int = 50,
+                    max_steps: Optional[int] = None):
+    logger = MetricLogger()
+    loader.set_epoch(epoch)
+    it = device_prefetch(loader, sharding=sharding)
+    for i, batch in enumerate(logger.log_every(it, print_freq, f"Epoch [{epoch}]", total=len(loader))):
+        batch = {k: v for k, v in batch.items()}
+        state, ld = step_fn(state, batch, jax.random.fold_in(rng, i))
+        total = float(ld["total"])
+        if not np.isfinite(total):
+            raise FloatingPointError(f"Loss is {total}, stopping training (step {i})")
+        logger.update(loss=total, grad_norm=float(ld.get("grad_norm", 0.0)))
+        if max_steps is not None and i + 1 >= max_steps:
+            break
+    return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def evaluate(params, eval_step, loader, sharding=None,
+             max_steps: Optional[int] = None) -> Dict[str, float]:
+    per_metric = {}
+    it = device_prefetch(loader, sharding=sharding)
+    for i, batch in enumerate(it):
+        metrics = eval_step(params, batch)
+        for k, v in metrics.items():
+            per_metric.setdefault(k, []).append(np.asarray(v))
+        if max_steps is not None and i + 1 >= max_steps:
+            break
+    return {
+        k: float(np.nanmean(np.concatenate(v))) for k, v in per_metric.items()
+    }
