@@ -1,0 +1,238 @@
+"""CLI driver: train/eval with the reference's flag surface.
+
+Parity with `/root/reference/main.py:42-226` and the stacked argparse chain
+(`util/settings.py:17-205`, `arctic_tools/src/parsers/parser.py:9-93`).
+Flags keep the reference names so published commands port 1:1:
+
+  python -m uvhand_tpu.cli.main --dataset_file arctic --method arctic_sf \
+      --setup p1 --coco_path data --output_dir exps/run1 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("uvhand_tpu", add_help=False)
+    # general (settings.py:17-67)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--val_batch_size", default=4, type=int)
+    p.add_argument("--full_validation", action="store_true")
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--resume_dir", default="", type=str)
+    p.add_argument("--not_use_params", default=[], nargs="+")
+    p.add_argument("--output_dir", default="exps/default")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--num_debug", default=3, type=int)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--onecyclelr", action="store_true")
+    p.add_argument("--use_augm", action="store_true")
+    p.add_argument("--feature_type", default="origin",
+                   choices=["origin", "global_fm", "local_fm"])
+    p.add_argument("--train_smoothnet", action="store_true")
+    p.add_argument("--smooth_resume", default="", type=str)
+    p.add_argument("--wandb", action="store_true")
+    # model (settings.py:71-155)
+    p.add_argument("--modelname", default="deformable_detr",
+                   choices=["deformable_detr", "dino"])
+    p.add_argument("--lr", default=2e-4, type=float)
+    p.add_argument("--lr_backbone", default=2e-5, type=float)
+    p.add_argument("--lr_linear_proj_mult", default=0.1, type=float)
+    p.add_argument("--batch_size", default=2, type=int)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--epochs", default=50, type=int)
+    p.add_argument("--lr_drop", default=40, type=int)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--sgd", action="store_true")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--num_feature_levels", default=4, type=int)
+    p.add_argument("--enc_layers", default=6, type=int)
+    p.add_argument("--dec_layers", default=6, type=int)
+    p.add_argument("--dim_feedforward", default=1024, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--nheads", default=8, type=int)
+    p.add_argument("--num_queries", default=300, type=int)
+    p.add_argument("--dec_n_points", default=4, type=int)
+    p.add_argument("--enc_n_points", default=4, type=int)
+    p.add_argument("--two_stage", action="store_true", default=False)
+    p.add_argument("--with_box_refine", action="store_true", default=False)
+    p.add_argument("--cls_loss_coef", default=2.0, type=float)
+    p.add_argument("--keypoint_loss_coef", default=5.0, type=float)
+    p.add_argument("--focal_alpha", default=0.25, type=float)
+    # arctic (parser.py:9-93; hardcoded focal 1000, img_res 224 :58-74)
+    p.add_argument("--dataset_file", default="arctic")
+    p.add_argument("--coco_path", default="data", type=str)
+    p.add_argument("--method", default="arctic_sf",
+                   choices=["arctic_sf", "arctic_lstm"])
+    p.add_argument("--setup", default="p1")
+    p.add_argument("--window_size", default=1, type=int)
+    p.add_argument("--trainsplit", default="train")
+    p.add_argument("--valsplit", default="val")
+    p.add_argument("--img_res", default=224, type=int)
+    p.add_argument("--focal_length", default=1000.0, type=float)
+    p.add_argument("--speedup", action="store_true", default=True)
+    p.add_argument("--ego_image_scale", default=0.3, type=float)
+    p.add_argument("--mano_dir", default="data/body_models/mano", type=str)
+    p.add_argument("--arctic_meta_dir", default="", type=str)
+    return p
+
+
+def build_world(args):
+    """MANO models + object bank: real assets if present, synthetic otherwise."""
+    import os.path as op
+
+    from ..geometry import mano as mano_lib
+    from ..geometry import objects as obj_lib
+
+    mano_r_p = op.join(args.mano_dir, "MANO_RIGHT.pkl")
+    if op.exists(mano_r_p):
+        mano_r = mano_lib.load_mano_pkl(mano_r_p, True)
+        mano_l = mano_lib.load_mano_pkl(op.join(args.mano_dir, "MANO_LEFT.pkl"), False)
+    else:
+        print("WARNING: MANO assets not found; using synthetic test fixtures")
+        mano_r = mano_lib.synthetic_mano(0, True)
+        mano_l = mano_lib.synthetic_mano(1, False)
+
+    meta = args.arctic_meta_dir or op.join(
+        args.coco_path, args.dataset_file, "meta"
+    )
+    if op.exists(op.join(meta, "object_meta.json")):
+        bank = obj_lib.load_object_bank(meta)
+    else:
+        print("WARNING: ARCTIC object meshes not found; using synthetic bank")
+        bank = obj_lib.synthetic_object_bank(2)
+    return mano_r, mano_l, bank
+
+
+def build_model(args):
+    from ..models.detr import UVHandDETR
+
+    return UVHandDETR(
+        num_queries=args.num_queries,
+        d_model=args.hidden_dim,
+        n_heads=args.nheads,
+        num_encoder_layers=args.enc_layers,
+        num_decoder_layers=args.dec_layers,
+        dim_feedforward=args.dim_feedforward,
+        dropout=args.dropout,
+        num_feature_levels=args.num_feature_levels,
+        dec_n_points=args.dec_n_points,
+        enc_n_points=args.enc_n_points,
+        two_stage=args.two_stage,
+        with_box_refine=args.with_box_refine,
+        backbone=args.backbone,
+        feature_type=args.feature_type,
+    )
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import engine
+    from ..data import arctic as arctic_data
+    from ..data.loader import DataLoader
+    from ..train import checkpoint as ckpt
+    from ..train import mesh as mesh_lib
+    from ..train.state import create_train_state, onecycle_schedule, step_schedule
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "running_cmd.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)  # save_cmd equivalent
+
+    np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    mano_r, mano_l, bank = build_world(args)
+    model = build_model(args)
+
+    root = os.path.join(args.coco_path, args.dataset_file)
+    kp3d_cano = np.asarray(bank.kp_bottom)
+    ds_train = arctic_data.ArcticDataset(
+        root, args.setup, args.trainsplit, img_res=args.img_res,
+        focal_length=args.focal_length, kp3d_cano=kp3d_cano,
+        two_stage=args.two_stage, aug=args.use_augm or None,
+    )
+    ds_val = arctic_data.ArcticDataset(
+        root, args.setup, args.valsplit, img_res=args.img_res,
+        focal_length=args.focal_length, kp3d_cano=kp3d_cano,
+        two_stage=args.two_stage,
+    )
+    dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed)
+    dl_val = DataLoader(ds_val, args.val_batch_size, shuffle=False, drop_last=False)
+
+    imgs = jnp.zeros((1, args.img_res, args.img_res, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": rng}, imgs)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model params: {n_params/1e6:.1f}M")
+
+    steps_per_epoch = max(len(dl_train), 1)
+    if args.onecyclelr:
+        ep = 32 if args.modelname == "deformable_detr" else 12  # settings.py:439
+        sched = onecycle_schedule(args.lr, steps_per_epoch * ep)
+    else:
+        sched = step_schedule(args.lr, args.lr_drop * steps_per_epoch)
+    state = create_train_state(
+        model, params, lr=args.lr, lr_backbone=args.lr_backbone,
+        lr_linear_proj_mult=args.lr_linear_proj_mult,
+        weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
+        schedule=sched, sgd=args.sgd,
+    )
+
+    if args.resume:
+        state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
+        print(f"resumed from {args.resume}")
+
+    mesh = mesh_lib.make_mesh()
+    sharding = mesh_lib.batch_sharding(mesh) if mesh.devices.size > 1 else None
+
+    step_fn = engine.make_fused_train_step(
+        model, mano_r, mano_l, bank, img_res=float(args.img_res),
+        two_stage=args.two_stage,
+    )
+    eval_step = engine.make_eval_step(model, mano_r, mano_l, bank, float(args.img_res))
+
+    max_steps = args.num_debug if args.debug else None
+
+    if args.eval:
+        ckpts = ckpt.list_checkpoints(args.resume_dir) if args.resume_dir else [None]
+        for c in ckpts:
+            if c is not None:
+                state = ckpt.load_checkpoint(c, state, args.not_use_params)
+            scores = engine.evaluate(state.params, eval_step, dl_val,
+                                     sharding=sharding, max_steps=max_steps)
+            print(json.dumps(scores, indent=2))
+            from ..utils.logging import save_results
+
+            save_results(args.output_dir, -1, score_dict=scores)
+        return
+
+    for epoch in range(args.start_epoch, args.epochs):
+        t0 = time.time()
+        state, stats = engine.train_one_epoch(
+            state, step_fn, dl_train, epoch, jax.random.fold_in(rng, epoch),
+            sharding=sharding, max_steps=max_steps,
+        )
+        ckpt.save_checkpoint(args.output_dir, epoch, state, extra={"epoch": epoch})
+        scores = engine.evaluate(state.params, eval_step, dl_val,
+                                 sharding=sharding, max_steps=max_steps)
+        from ..utils.logging import save_results
+
+        save_results(args.output_dir, epoch, loss_dict=stats, score_dict=scores)
+        print(f"epoch {epoch}: {time.time()-t0:.1f}s train_loss={stats.get('loss'):.4f} "
+              + json.dumps(scores))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("uvhand_tpu driver", parents=[get_args_parser()])
+    main(parser.parse_args())
