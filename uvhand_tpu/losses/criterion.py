@@ -368,6 +368,19 @@ def arctic_criterion(
         for k, v in small_all.items():
             add(k, v[l], l)
 
+    if "dn_outputs" in outputs and outputs["dn_outputs"] is not None:
+        from ..models.dn import dn_losses
+
+        dn = outputs["dn_outputs"]
+        dl = dn_losses(
+            dn["pred_logits"], dn["pred_hand_key"], dn["pred_obj_key"],
+            dn["dn_meta"], num_boxes,
+        )
+        for k, v in dl.items():
+            loss_dict[k] = v
+            base = "loss_ce" if k.startswith("loss_ce") else "loss_hand_keypoint"
+            total = total + weights.get(base, 0.0) * v
+
     if two_stage and "interm_outputs" in outputs and outputs["interm_outputs"] is not None:
         io = outputs["interm_outputs"]
         ce_i, h_i, o_i = det_losses(

@@ -69,6 +69,11 @@ class UVHandDETR(nn.Module):
     backbone: str = "resnet50"
     feature_type: str = "origin"  # 'origin' | 'global_fm' | 'local_fm'
     feature_mask_ratio: float = 0.3
+    # DINO contrastive denoising (models/dino/, dn_components.py)
+    use_dn: bool = False
+    dn_number: int = 100
+    dn_label_noise_ratio: float = 0.5
+    dn_box_noise_scale: float = 1.0
 
     def setup(self):
         if self.feature_type == "origin":
@@ -111,6 +116,11 @@ class UVHandDETR(nn.Module):
                 "query_embed", nn.initializers.normal(1.0), (self.num_queries, 2 * self.d_model)
             )
 
+        if self.use_dn:
+            self.label_enc = nn.Embed(
+                self.num_classes + 1, self.d_model, name="label_enc"
+            )
+
         xavier = nn.initializers.xavier_uniform()
         self.mano_pose_head = nn.Dense(48, kernel_init=xavier, name="mano_pose_head")
         self.mano_beta_head = nn.Dense(10, kernel_init=xavier, name="mano_beta_head")
@@ -132,6 +142,7 @@ class UVHandDETR(nn.Module):
         image_mask: Optional[jnp.ndarray] = None,  # (B, H, W) True=pad
         train: bool = False,
         return_backbone_features: bool = False,
+        dn_targets: Optional[dict] = None,  # labels/keypoints/target_valid
     ):
         if self.feature_type == "origin":
             feats = self.backbone_net(images)
@@ -167,13 +178,31 @@ class UVHandDETR(nn.Module):
                 masks.append(m)
                 poses.append(sine_position_encoding(m, self.d_model // 2))
 
+        dn_meta = None
+        dn_kwargs = {}
+        if self.use_dn and train and dn_targets is not None:
+            from .dn import CdnConfig, cdn_attn_mask, prepare_cdn
+
+            cfg = CdnConfig(self.dn_number, self.dn_label_noise_ratio, self.dn_box_noise_scale)
+            dn_meta = prepare_cdn(
+                self.make_rng("dn"), dn_targets["labels"], dn_targets["keypoints"],
+                dn_targets["target_valid"], self.num_classes, cfg,
+            )
+            dn_kwargs = {
+                "dn_tgt": self.label_enc(dn_meta["dn_labels_noised"]),
+                "dn_refs_unact": dn_meta["dn_keys_unact"],
+                "dn_attn_mask": cdn_attn_mask(self.num_queries, cfg),
+            }
+
         t_out = self.transformer(
             srcs, masks, poses,
             query_embed=None if self.two_stage else self.query_embed,
             train=train,
+            **dn_kwargs,
         )
 
-        hs = t_out["hs"]  # (n_dec, B, Q, C)
+        hs = t_out["hs"]  # (n_dec, B, P+Q, C)
+        num_dn = t_out["num_dn"]
         pose = self.mano_pose_head(hs)
         beta = self.mano_beta_head(hs)
         hand_cam = self.hand_cam_head(hs)
@@ -184,6 +213,27 @@ class UVHandDETR(nn.Module):
         logits = t_out["pred_logits"].astype(jnp.float32)
         hand_key = t_out["pred_hand_key"]
         obj_key = t_out["pred_obj_key"]
+
+        dn_out = None
+        if num_dn > 0:
+            # dn_post_process (dino.py:355-361): split dn part off every head
+            dn_out = {
+                "pred_logits": logits[:, :, :num_dn],
+                "pred_hand_key": hand_key[:, :, :num_dn] if hand_key is not None else None,
+                "pred_obj_key": obj_key[:, :, :num_dn] if obj_key is not None else None,
+                "dn_meta": dn_meta,
+            }
+            logits = logits[:, :, num_dn:]
+            if hand_key is not None:
+                hand_key = hand_key[:, :, num_dn:]
+                obj_key = obj_key[:, :, num_dn:]
+            hs = hs[:, :, num_dn:]
+            pose = pose[:, :, num_dn:]
+            beta = beta[:, :, num_dn:]
+            hand_cam = hand_cam[:, :, num_dn:]
+            obj_cam = obj_cam[:, :, num_dn:]
+            obj_rot = obj_rot[:, :, num_dn:]
+            obj_rad = obj_rad[:, :, num_dn:]
 
         def layer_out(l):
             return {
@@ -218,4 +268,6 @@ class UVHandDETR(nn.Module):
                 "pred_hand_key": jax.nn.sigmoid(enc["pred_hand_key_unact"]) * 2 - 1,
                 "pred_obj_key": jax.nn.sigmoid(enc["pred_obj_key_unact"]) * 2 - 1,
             }
+        if dn_out is not None:
+            out["dn_outputs"] = dn_out
         return out

@@ -90,14 +90,18 @@ class DecoderLayer(nn.Module):
     n_points: int = 4
 
     @nn.compact
-    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes, src_padding_mask, train: bool):
+    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes, src_padding_mask, train: bool, self_attn_mask=None):
         q = tgt if query_pos is None else tgt + query_pos
         tgt2 = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             dropout_rate=self.dropout,
             deterministic=not train,
             name="self_attn",
-        )(inputs_q=q, inputs_k=q, inputs_v=tgt)
+        )(
+            inputs_q=q, inputs_k=q, inputs_v=tgt,
+            # flax mask: True = attend; cdn mask passes True = blocked
+            mask=None if self_attn_mask is None else ~self_attn_mask[None, None],
+        )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
         tgt = nn.LayerNorm(name="norm2")(tgt)
 
@@ -297,6 +301,9 @@ class DeformableTransformer(nn.Module):
         pos_embeds: Sequence[jnp.ndarray],  # L x (B, H_l, W_l, C)
         query_embed: Optional[jnp.ndarray] = None,  # (Q, 2C) non-two-stage
         train: bool = False,
+        dn_tgt: Optional[jnp.ndarray] = None,  # (B, P, C) label-embed content
+        dn_refs_unact: Optional[jnp.ndarray] = None,  # (B, P, 42)
+        dn_attn_mask: Optional[jnp.ndarray] = None,  # (P+Q, P+Q) True=blocked
     ):
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
         B = srcs[0].shape[0]
@@ -372,6 +379,19 @@ class DeformableTransformer(nn.Module):
             tgt = jnp.tile(tgt[None], (B, 1, 1))
             reference_points = jax.nn.sigmoid(self.ref_point_head(query_pos))
 
+        # ---- contrastive-denoising queries (DINO variant) ----
+        num_dn = 0
+        if dn_tgt is not None:
+            num_dn = dn_tgt.shape[1]
+            dn_pos = nn.relu(self.pos_trans1(proposal_pos_embed(dn_refs_unact)))
+            dn_pos = nn.relu(self.pos_trans2(dn_pos))
+            dn_pos = nn.relu(self.pos_trans3(dn_pos))
+            dn_pos = self.pos_trans_norm(dn_pos)[..., : self.d_model]
+            dn_refs = jax.nn.sigmoid(dn_refs_unact) * 2 - 1
+            query_pos = jnp.concatenate([dn_pos, query_pos], axis=1)
+            tgt = jnp.concatenate([dn_tgt, tgt], axis=1)
+            reference_points = jnp.concatenate([dn_refs, reference_points], axis=1)
+
         init_reference = reference_points
 
         # ---- decoder ----
@@ -384,7 +404,8 @@ class DeformableTransformer(nn.Module):
             else:
                 ref_input = ref[:, :, None] * valid_ratios[:, None]
             refs_in_list.append(ref)
-            output = layer(output, query_pos, ref_input, memory, spatial_shapes, mask_flat, train)
+            output = layer(output, query_pos, ref_input, memory, spatial_shapes,
+                           mask_flat, train, self_attn_mask=dn_attn_mask)
             hs_list.append(output)
 
             logits = self._cls_head(lid)(output)
@@ -426,4 +447,5 @@ class DeformableTransformer(nn.Module):
             "pred_obj_key": pred_obj_key,
             "enc_outputs": enc_outputs,
             "memory": memory,
+            "num_dn": num_dn,
         }
