@@ -1,0 +1,244 @@
+"""AssemblyHands / H2O / FPHA 2.5D keypoint DETR variant.
+
+Capability parity with `/root/reference/models/assembly_detr.py` +
+`assembly_transformer.py`: per-query 63-d (21 x (u, v, d)) keypoint MLP heads
+(`assembly_detr.py:55-56`), two-stage proposals from the LAST feature level
+only with 2-d grid proposals (`assembly_transformer.py:183-232`), query
+selection = best object (classes 1..8) + argmax left (9) + argmax right (10)
+-> 3 decoder queries, decoder refinement for hand queries with the uv part of
+the 63-d delta and the `sigmoid()*2-0.5` range quirk (`:430-450`).
+
+Reuses this framework's encoder/decoder layers; the criterion below mirrors
+`AssemblyMatcher` (`models/matcher.py:128-229`, 63-d L1 cost) and the focal
+label loss.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..losses.matching import hungarian_small
+from .backbones.resnet import ResNet50, RESNET50_CHANNELS
+from .detr import InputProj
+from .posenc import sine_position_encoding
+from .transformer import DecoderLayer, EncoderLayer, MLP, encoder_reference_points, inverse_sigmoid
+
+
+class AssemblyTransformer(nn.Module):
+    d_model: int = 256
+    n_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    num_feature_levels: int = 4
+    num_classes: int = 12  # e.g. H2O: 0 bg-ish, 1..8 objects, 9/10 hands
+    num_obj_classes: int = 8
+
+    def setup(self):
+        self.enc_layers_ = [
+            EncoderLayer(self.d_model, self.dim_feedforward, self.dropout,
+                         self.num_feature_levels, self.n_heads, name=f"enc{i}")
+            for i in range(self.num_encoder_layers)
+        ]
+        self.dec_layers_ = [
+            DecoderLayer(self.d_model, self.dim_feedforward, self.dropout,
+                         self.num_feature_levels, self.n_heads, name=f"dec{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, self.d_model)
+        )
+        num_pred = self.num_decoder_layers + 1
+        bias = -math.log((1 - 0.01) / 0.01)
+        self.cls_heads = [
+            nn.Dense(self.num_classes, bias_init=nn.initializers.constant(bias), name=f"cls{i}")
+            for i in range(num_pred)
+        ]
+        self.key_heads = [MLP(self.d_model, 63, 3, name=f"key{i}") for i in range(num_pred)]
+        self.obj_key_heads = [MLP(self.d_model, 63, 3, name=f"okey{i}") for i in range(num_pred)]
+        self.enc_output = nn.Dense(self.d_model, name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (3, 2 * self.d_model)
+        )
+
+    def __call__(self, srcs, masks, pos_embeds, train: bool = False):
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        B = srcs[0].shape[0]
+        src_flat = jnp.concatenate([s.reshape(B, -1, self.d_model) for s in srcs], 1)
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks], 1)
+        pos_flat = jnp.concatenate(
+            [p.reshape(B, -1, self.d_model) + self.level_embed[l][None, None]
+             for l, p in enumerate(pos_embeds)], 1,
+        )
+        valid_ratios = jnp.ones((B, self.num_feature_levels, 2), jnp.float32)
+
+        memory = src_flat
+        enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        for layer in self.enc_layers_:
+            memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
+
+        # two-stage on the LAST level only (assembly_transformer.py:183)
+        Hl, Wl = spatial_shapes[-1]
+        last_start = sum(h * w for h, w in spatial_shapes[:-1])
+        mem_l = memory[:, last_start:]
+        out_mem = self.enc_output_norm(self.enc_output(mem_l))
+
+        gy, gx = jnp.meshgrid(jnp.arange(Hl, dtype=jnp.float32),
+                              jnp.arange(Wl, dtype=jnp.float32), indexing="ij")
+        grid = (jnp.stack([gx, gy], -1).reshape(1, -1, 2) + 0.5) / jnp.asarray([Wl, Hl], jnp.float32)
+        proposals = jnp.log(grid / (1 - grid))
+        proposals = jnp.broadcast_to(proposals, (B, Hl * Wl, 2))
+
+        enc_cls = self.cls_heads[self.num_decoder_layers](out_mem)
+        enc_hand = self.key_heads[self.num_decoder_layers](out_mem)
+        enc_obj = self.obj_key_heads[self.num_decoder_layers](out_mem)
+        enc_hand = enc_hand.at[..., 0::3].add(proposals[..., 0:1]).at[..., 1::3].add(proposals[..., 1:2])
+        enc_obj = enc_obj.at[..., 0::3].add(proposals[..., 0:1]).at[..., 1::3].add(proposals[..., 1:2])
+
+        # 3-query class-aware selection (assembly_transformer.py:202-222)
+        obj_scores = enc_cls[:, :, 1 : 1 + self.num_obj_classes]
+        best_q = jnp.argmax(jnp.max(obj_scores, -1), axis=1)
+        left_q = jnp.argmax(enc_cls[:, :, self.num_obj_classes + 1], axis=1)
+        right_q = jnp.argmax(enc_cls[:, :, self.num_obj_classes + 2], axis=1)
+        b = jnp.arange(B)
+        sel = jnp.stack(
+            [enc_hand[b, left_q], enc_hand[b, right_q], enc_obj[b, best_q]], axis=1
+        )
+        sel = jax.lax.stop_gradient(sel)
+        ref = jax.nn.sigmoid(sel)
+        ref2 = jnp.stack([ref[..., 0::3].mean(-1), ref[..., 1::3].mean(-1)], -1)  # (B,3,2)
+
+        query_pos, tgt = jnp.split(self.query_embed, 2, axis=-1)
+        query_pos = jnp.tile(query_pos[None], (B, 1, 1))
+        tgt = jnp.tile(tgt[None], (B, 1, 1))
+
+        hs_list, logits_list, keys_list = [], [], []
+        output = tgt
+        reference = ref2
+        for lid, layer in enumerate(self.dec_layers_):
+            ref_in = reference[:, :, None] * valid_ratios[:, None]
+            output = layer(output, query_pos, ref_in, memory, spatial_shapes, mask_flat, train)
+            hs_list.append(output)
+            logits = self.cls_heads[lid](output)
+            logits_list.append(logits)
+            delta = self.key_heads[lid](output)  # (B, 3, 63)
+            base = inverse_sigmoid(reference)[:, :, None].repeat(21, axis=2)
+            new_kp = base + delta.reshape(B, 3, 21, 3)[..., :2]
+            keys63 = jnp.concatenate(
+                [jax.nn.sigmoid(base + delta.reshape(B, 3, 21, 3)[..., :2]) * 2 - 0.5,
+                 delta.reshape(B, 3, 21, 3)[..., 2:]], -1,
+            ).reshape(B, 3, 63)
+            keys_list.append(keys63)
+            hand_mask = (jnp.argmax(logits, -1) != 0)[..., None]
+            upd = jax.nn.sigmoid(new_kp.mean(2)) * 2 - 0.5
+            reference = jax.lax.stop_gradient(jnp.where(hand_mask, upd, reference))
+
+        return {
+            "hs": jnp.stack(hs_list),
+            "pred_logits": jnp.stack(logits_list),
+            "pred_keypoints": jnp.stack(keys_list),  # (L, B, 3, 63)
+            "enc_outputs": {"pred_logits": enc_cls, "pred_keypoints": jax.nn.sigmoid(enc_hand)},
+        }
+
+
+class AssemblyDETR(nn.Module):
+    num_classes: int = 12
+    num_feature_levels: int = 4
+    d_model: int = 256
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+
+    def setup(self):
+        self.backbone_net = ResNet50(name="backbone")
+        n = len(RESNET50_CHANNELS)
+        projs = [InputProj(self.d_model, name=f"input_proj{i}") for i in range(n)]
+        for i in range(n, self.num_feature_levels):
+            projs.append(InputProj(self.d_model, extra_level=True, name=f"input_proj{i}"))
+        self.input_projs = projs
+        self.transformer = AssemblyTransformer(
+            d_model=self.d_model, num_classes=self.num_classes,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            num_feature_levels=self.num_feature_levels, name="transformer",
+        )
+
+    def __call__(self, images, train: bool = False):
+        feats = self.backbone_net(images)
+        B = images.shape[0]
+        srcs, masks, poses = [], [], []
+        for l, f in enumerate(feats):
+            m = jnp.zeros((B,) + f.shape[1:3], bool)
+            srcs.append(self.input_projs[l](f))
+            masks.append(m)
+            poses.append(sine_position_encoding(m, self.d_model // 2))
+        for l in range(len(feats), self.num_feature_levels):
+            src = self.input_projs[l](feats[-1] if l == len(feats) else srcs[-1])
+            m = jnp.zeros((B,) + src.shape[1:3], bool)
+            srcs.append(src)
+            masks.append(m)
+            poses.append(sine_position_encoding(m, self.d_model // 2))
+        t = self.transformer(srcs, masks, poses, train)
+        return {
+            "pred_logits": t["pred_logits"][-1],
+            "pred_keypoints": t["pred_keypoints"][-1],
+            "aux_outputs": [
+                {"pred_logits": t["pred_logits"][l], "pred_keypoints": t["pred_keypoints"][l]}
+                for l in range(t["pred_logits"].shape[0] - 1)
+            ],
+            "stacked": t,
+        }
+
+
+def assembly_criterion(outputs, tgt_labels, tgt_keypoints63, target_valid,
+                       num_classes=12, cost_class=2.0, cost_keypoint=5.0):
+    """Focal labels + 63-d keypoint L1 on Hungarian-matched queries."""
+    st = outputs["stacked"]
+    logits_all = st["pred_logits"]  # (L, B, 3, C)
+    keys_all = st["pred_keypoints"]
+    L, B, Q, C = logits_all.shape
+    num_boxes = jnp.maximum(jnp.sum(target_valid).astype(jnp.float32), 1.0)
+
+    def match(logits, keys):
+        prob = jax.nn.sigmoid(logits)
+        alpha, gamma = 0.25, 2.0
+        neg = (1 - alpha) * prob**gamma * (-jnp.log(1 - prob + 1e-8))
+        pos = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
+        lab = jnp.maximum(tgt_labels, 0)
+        cls_cost = jnp.take_along_axis(pos - neg, lab[:, None, :], axis=2)
+        kp_cost = jnp.sum(
+            jnp.abs(keys[:, :, None] - tgt_keypoints63[:, None]), -1
+        )
+        Cm = cost_class * cls_cost + cost_keypoint * kp_cost
+        return jax.vmap(hungarian_small)(Cm, target_valid)
+
+    def layer_losses(logits, keys):
+        assign = jax.lax.stop_gradient(match(logits, keys))
+        b_idx = jnp.arange(B)[:, None]
+        q = jnp.maximum(assign, 0)
+        tc = jnp.full((B, Q), C, jnp.int32)
+        q_range = jnp.arange(Q)[None]
+        for t_ in range(tgt_labels.shape[1]):
+            hit = (q_range == assign[:, t_ : t_ + 1]) & (assign[:, t_ : t_ + 1] >= 0)
+            tc = jnp.where(hit, jnp.maximum(tgt_labels[:, t_ : t_ + 1], 0), tc)
+        onehot = jax.nn.one_hot(tc, C + 1)[..., :-1]
+        p = jax.nn.sigmoid(logits)
+        ce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        p_t = p * onehot + (1 - p) * (1 - onehot)
+        loss = (0.25 * onehot + 0.75 * (1 - onehot)) * ce * (1 - p_t) ** 2
+        l_ce = loss.mean(1).sum() / num_boxes * Q
+        src = keys[b_idx, q]
+        valid = target_valid & (assign >= 0)
+        l1 = jnp.abs(src - tgt_keypoints63).sum(-1) * valid
+        l_kp = jnp.sum(l1) / jnp.maximum(jnp.sum(valid), 1) / 21.0
+        return l_ce, l_kp
+
+    ce, kp = jax.vmap(layer_losses)(logits_all, keys_all)
+    total = 2.0 * ce.sum() + 5.0 * kp.sum()
+    return total, {"loss_ce": ce[-1], "loss_keypoint": kp[-1], "total": total}
