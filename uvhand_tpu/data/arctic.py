@@ -319,6 +319,45 @@ def create_windows(imgnames: List[str], window_size: int) -> List[List[str]]:
     return windows
 
 
+class WindowDataset:
+    """Temporal windows over an ArcticDataset (TempoInferenceDataset
+    equivalent, tempo_inference_dataset.py:45-182): each item is a stacked
+    window of `window_size` consecutive frames from one (subject, seq, view);
+    the collate flattens B windows x T frames into a B*T leading axis
+    (factory.py:56-116 collate_custom_fn)."""
+
+    def __init__(self, base: "ArcticDataset", window_size: int):
+        self.base = base
+        self.window_size = window_size
+        self.windows = create_windows(base.imgnames, window_size)
+        self._name_to_idx = {n: i for i, n in enumerate(base.imgnames)}
+
+    def __len__(self):
+        return len(self.windows)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        names = self.windows[index]
+        samples = [self.base[self._name_to_idx[n]] for n in names]
+        out = {}
+        for k in samples[0]:
+            if k == "imgname":
+                out["imgname"] = [s["imgname"] for s in samples]
+                continue
+            out[k] = np.stack([s[k] for s in samples], 0)  # (T, ...)
+        return out
+
+
+def collate_windows(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """(B windows, T, ...) -> flatten to (B*T, ...) leading axis."""
+    out = {}
+    for k in samples[0]:
+        if k == "imgname":
+            continue
+        stacked = np.stack([s[k] for s in samples], 0)  # (B, T, ...)
+        out[k] = stacked.reshape((-1,) + stacked.shape[2:])
+    return out
+
+
 def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: int = 2,
                         seed: int = 0, image_hw=(600, 840)) -> None:
     """Write a miniature ARCTIC-layout dataset for pipeline tests."""
