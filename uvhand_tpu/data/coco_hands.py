@@ -1,0 +1,123 @@
+"""COCO-format hand-keypoint datasets (H2O / FPHA / AssemblyHands).
+
+Capability parity with `/root/reference/datasets/coco.py` (`CocoDetection`
++ `ConvertCocoPolysToMask` with `cam2pixel` uvd conversion, :26-168) and the
+resize/normalize eval transforms (`make_coco_transforms:254-271`), emitting
+static-shape samples for the Assembly 2.5D model (`models/assembly.py`):
+u, v normalized to [0, 1] by image size; d = root-relative depth.
+
+Uses plain json (pycocotools not required); `make_synthetic_coco_root`
+fabricates the same layout for tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as op
+from typing import Dict, List
+
+import numpy as np
+
+T_SLOTS = 3  # left hand, right hand, object
+
+
+def cam2pixel(cam_coord: np.ndarray, f, c) -> np.ndarray:
+    """(N, 3) camera coords -> (u px, v px, z) (datasets/coco.py:53-58)."""
+    x = cam_coord[:, 0] / (cam_coord[:, 2] + 1e-8) * f[0] + c[0]
+    y = cam_coord[:, 1] / (cam_coord[:, 2] + 1e-8) * f[1] + c[1]
+    return np.stack([x, y, cam_coord[:, 2]], 1)
+
+
+class CocoHandsDataset:
+    def __init__(self, root: str, split: str = "train", img_res: int = 224,
+                 num_obj_classes: int = 8):
+        self.root = root
+        self.img_res = img_res
+        self.num_obj_classes = num_obj_classes
+        with open(op.join(root, f"annotations/{split}.json")) as f:
+            data = json.load(f)
+        self.images = {im["id"]: im for im in data["images"]}
+        self.anns: Dict[int, List[dict]] = {}
+        for a in data["annotations"]:
+            self.anns.setdefault(a["image_id"], []).append(a)
+        self.ids = sorted(self.images.keys())
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        iid = self.ids[index]
+        im_info = self.images[iid]
+        img = cv2.imread(op.join(self.root, "images", im_info["file_name"]))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        H0, W0 = img.shape[:2]
+        img = cv2.resize(img, (self.img_res, self.img_res), interpolation=cv2.INTER_LINEAR)
+        img = (img - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
+            [0.229, 0.224, 0.225], np.float32
+        )
+
+        f = im_info["cam_param"]["focal"]
+        c = im_info["cam_param"]["princpt"]
+
+        labels = np.full(T_SLOTS, -1, np.int32)
+        keys = np.zeros((T_SLOTS, 63), np.float32)
+        valid = np.zeros(T_SLOTS, bool)
+        slot = {"left": 0, "right": 1, "object": 2}
+        left_cls = self.num_obj_classes + 1
+        right_cls = self.num_obj_classes + 2
+        for a in self.anns.get(iid, []):
+            kind = a["category"]  # 'left' | 'right' | 'object'
+            cam_kp = np.asarray(a["keypoints_cam"], np.float32).reshape(-1, 3)
+            uvz = cam2pixel(cam_kp, f, c)
+            root_z = uvz[0, 2]
+            uvd = np.stack(
+                [uvz[:, 0] / W0, uvz[:, 1] / H0, uvz[:, 2] - root_z], 1
+            ).astype(np.float32)
+            si = slot[kind]
+            labels[si] = (
+                left_cls if kind == "left" else right_cls if kind == "right" else a.get("obj_class", 1)
+            )
+            n = min(21, uvd.shape[0])
+            keys[si, : n * 3] = uvd[:n].reshape(-1)
+            valid[si] = True
+
+        return {
+            "images": img.astype(np.float32),
+            "labels": labels,
+            "keypoints63": keys,
+            "target_valid": valid,
+        }
+
+
+def make_synthetic_coco_root(path: str, n_images: int = 6, seed: int = 0,
+                             image_hw=(480, 640)):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(op.join(path, "annotations"), exist_ok=True)
+    os.makedirs(op.join(path, "images"), exist_ok=True)
+    H, W = image_hw
+    images, annotations = [], []
+    aid = 0
+    for i in range(n_images):
+        fn = f"{i:05d}.jpg"
+        cv2.imwrite(op.join(path, "images", fn),
+                    rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+        images.append({
+            "id": i, "file_name": fn, "width": W, "height": H,
+            "cam_param": {"focal": [600.0, 600.0], "princpt": [W / 2, H / 2]},
+        })
+        for kind in ("left", "right", "object"):
+            kp = rng.normal(size=(21, 3)).astype(float) * 0.05 + [0, 0, 0.5]
+            annotations.append({
+                "id": aid, "image_id": i, "category": kind,
+                "keypoints_cam": kp.reshape(-1).tolist(),
+                "bbox": [10, 10, 100, 100], "obj_class": int(rng.integers(1, 8)),
+            })
+            aid += 1
+    for split in ("train", "val"):
+        with open(op.join(path, f"annotations/{split}.json"), "w") as fh:
+            json.dump({"images": images, "annotations": annotations}, fh)
