@@ -223,3 +223,35 @@ def mano_forward(
 def reorder_joints_manopth(joints21: jnp.ndarray) -> jnp.ndarray:
     """smplx/kinematic order -> manopth visualization order (manolayer.py:260)."""
     return joints21[..., list(JOINT_REORDER_MANOPTH), :]
+
+
+# wrist-sealing (body_models.py:36-74): faces around the wrist ring closed
+# with a centroid vertex 778
+SEAL_FACES_R = np.array(
+    [
+        [120, 108, 778], [108, 79, 778], [79, 78, 778], [78, 121, 778],
+        [121, 214, 778], [214, 215, 778], [215, 279, 778], [279, 239, 778],
+        [239, 234, 778], [234, 92, 778], [92, 38, 778], [38, 122, 778],
+        [122, 118, 778], [118, 117, 778], [117, 119, 778], [119, 120, 778],
+    ],
+    np.int32,
+)
+CIRCLE_V_ID = np.array(
+    [108, 79, 78, 121, 214, 215, 279, 239, 234, 92, 38, 122, 118, 117, 119, 120],
+    np.int64,
+)
+
+
+def seal_mano_mesh(v3d: jnp.ndarray, faces: np.ndarray, is_rhand: bool):
+    """Append the wrist-ring centroid vertex + sealing faces
+    (body_models.py:62-74). v3d (B, 778, 3) -> (B, 779, 3)."""
+    seal = SEAL_FACES_R if is_rhand else SEAL_FACES_R[:, [1, 0, 2]]
+    centers = jnp.mean(v3d[:, CIRCLE_V_ID], axis=1, keepdims=True)
+    sealed = jnp.concatenate([v3d, centers], axis=1)
+    return sealed, np.concatenate([faces, seal], axis=0)
+
+
+def decimate_verts(verts: jnp.ndarray, D: jnp.ndarray) -> jnp.ndarray:
+    """MANODecimator.downsample (body_models.py:10-31): verts (B, 778, 3)
+    through a (195, 778) decimation matrix."""
+    return jnp.einsum("sv,bvc->bsc", D, verts)
