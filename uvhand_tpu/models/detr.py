@@ -94,6 +94,13 @@ class UVHandDETR(nn.Module):
             for i in range(n_backbone, self.num_feature_levels):
                 projs.append(InputProj(self.d_model, extra_level=True, name=f"input_proj{i}"))
             self.input_projs = projs
+        else:
+            # precomputed raw backbone features still need projection to
+            # d_model (the stored dumps keep backbone channel counts)
+            self.input_projs = [
+                InputProj(self.d_model, name=f"input_proj{i}")
+                for i in range(self.num_feature_levels)
+            ]
 
         self.transformer = DeformableTransformer(
             d_model=self.d_model,
@@ -171,10 +178,10 @@ class UVHandDETR(nn.Module):
         else:
             # precomputed multi-scale features: list of (B, H_l, W_l, C)
             srcs, masks, poses = [], [], []
-            for f in images:
+            for l, f in enumerate(images):
                 B = f.shape[0]
                 m = jnp.zeros((B,) + f.shape[1:3], bool)
-                srcs.append(f)
+                srcs.append(self._feature_mask(self.input_projs[l](f), train))
                 masks.append(m)
                 poses.append(sine_position_encoding(m, self.d_model // 2))
 
