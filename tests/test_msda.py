@@ -139,3 +139,22 @@ def test_module_padding_mask(rng):
     # all values masked to zero -> output is only biases through projections
     out2 = mod.apply(params, query, ref, jnp.zeros_like(feats), SHAPES)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff(rng):
+    """The hand-written backward must equal plain autodiff of the xla_ad path."""
+    value, loc, attn = make_inputs(rng)
+    g = rng.standard_normal((B, Lq, M * D)).astype(np.float32)
+
+    def loss(impl):
+        def f(v, l, a):
+            return jnp.sum(ms_deform_attn(v, SHAPES, l, a, impl=impl) * jnp.asarray(g))
+        return f
+
+    gv1, gl1, ga1 = jax.grad(loss("xla"), argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    gv2, gl2, ga2 = jax.grad(loss("xla_ad"), argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl2), rtol=1e-3, atol=1e-5)
