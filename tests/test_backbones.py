@@ -116,3 +116,54 @@ def test_shifted_window_mask_blocks():
     assert (m[0] == 0).all()
     # other windows must have some -100 entries
     assert (m[-1] == -100).any()
+
+
+def test_swin_converter_structure(rng):
+    from uvhand_tpu.models.backbones.swin import SwinTransformer, convert_swin_checkpoint
+
+    depths, heads, ed, ws = (2, 2, 6, 2), (3, 6, 12, 24), 96, 7
+    sd = {}
+    sd["patch_embed.proj.weight"] = rng.normal(size=(ed, 3, 4, 4)).astype(np.float32)
+    sd["patch_embed.proj.bias"] = rng.normal(size=ed).astype(np.float32)
+    sd["patch_embed.norm.weight"] = np.ones(ed, np.float32)
+    sd["patch_embed.norm.bias"] = np.zeros(ed, np.float32)
+    dim = ed
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            p = f"layers.{si}.blocks.{bi}"
+            sd[f"{p}.norm1.weight"] = np.ones(dim, np.float32)
+            sd[f"{p}.norm1.bias"] = np.zeros(dim, np.float32)
+            sd[f"{p}.attn.relative_position_bias_table"] = rng.normal(
+                size=((2 * ws - 1) ** 2, heads[si])).astype(np.float32)
+            sd[f"{p}.attn.qkv.weight"] = rng.normal(size=(3 * dim, dim)).astype(np.float32)
+            sd[f"{p}.attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+            sd[f"{p}.attn.proj.weight"] = rng.normal(size=(dim, dim)).astype(np.float32)
+            sd[f"{p}.attn.proj.bias"] = np.zeros(dim, np.float32)
+            sd[f"{p}.norm2.weight"] = np.ones(dim, np.float32)
+            sd[f"{p}.norm2.bias"] = np.zeros(dim, np.float32)
+            sd[f"{p}.mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32)
+            sd[f"{p}.mlp.fc1.bias"] = np.zeros(4 * dim, np.float32)
+            sd[f"{p}.mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32)
+            sd[f"{p}.mlp.fc2.bias"] = np.zeros(dim, np.float32)
+        if si < 3:
+            sd[f"layers.{si}.downsample.norm.weight"] = np.ones(4 * dim, np.float32)
+            sd[f"layers.{si}.downsample.norm.bias"] = np.zeros(4 * dim, np.float32)
+            sd[f"layers.{si}.downsample.reduction.weight"] = rng.normal(
+                size=(2 * dim, 4 * dim)).astype(np.float32)
+            dim *= 2
+    d = ed
+    for si in (1, 2, 3):
+        d2 = ed * (2 ** si)
+        sd[f"norm{si}.weight"] = np.ones(d2, np.float32)
+        sd[f"norm{si}.bias"] = np.zeros(d2, np.float32)
+
+    params = convert_swin_checkpoint(sd, depths)
+    model = SwinTransformer.swin_t()
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                 jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths, set(ref_paths).symmetric_difference(got_paths)
+    outs = model.apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [192, 384, 768]

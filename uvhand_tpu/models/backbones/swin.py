@@ -104,12 +104,14 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, H, W, train: bool):
         B, L, C = x.shape
-        ws = min(self.window_size, H, W)
-        shift = self.shift if ws == self.window_size else 0
+        ws = self.window_size
+        shift = self.shift if min(H, W) > ws else 0
 
         shortcut = x
         x = nn.LayerNorm(name="norm1")(x).reshape(B, H, W, C)
 
+        # keep the full window size (param shapes stay input-independent,
+        # matching torch checkpoints); tiny maps get padded to one window
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
         if pad_b or pad_r:
@@ -215,3 +217,62 @@ class SwinTransformer(nn.Module):
 
 
 SWIN_L_CHANNELS = (384, 768, 1536)
+
+
+def convert_swin_checkpoint(state_dict, depths=(2, 2, 18, 2)) -> dict:
+    """Map an official torch Swin checkpoint (microsoft/Swin-Transformer
+    naming: patch_embed.proj, layers.N.blocks.M.{norm1,attn.qkv,...}) to this
+    module's parameter tree."""
+
+    def k(t, conv=False, raw=False):
+        a = np.asarray(t)
+        if conv and a.ndim == 4:
+            a = a.transpose(2, 3, 1, 0)
+        elif a.ndim == 2 and not raw:
+            a = a.T
+        return jnp.asarray(a, jnp.float32)
+
+    P: dict = {}
+
+    def put(path, val):
+        d = P
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = val
+
+    sd = state_dict
+    put(("patch_embed", "kernel"), k(sd["patch_embed.proj.weight"], conv=True))
+    put(("patch_embed", "bias"), k(sd["patch_embed.proj.bias"]))
+    put(("patch_norm", "scale"), k(sd["patch_embed.norm.weight"]))
+    put(("patch_norm", "bias"), k(sd["patch_embed.norm.bias"]))
+
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            src = f"layers.{si}.blocks.{bi}"
+            dst = f"stage{si}_block{bi}"
+            put((dst, "norm1", "scale"), k(sd[f"{src}.norm1.weight"]))
+            put((dst, "norm1", "bias"), k(sd[f"{src}.norm1.bias"]))
+            put((dst, "attn", "relative_position_bias_table"),
+                k(sd[f"{src}.attn.relative_position_bias_table"], raw=True))
+            put((dst, "attn", "qkv", "kernel"), k(sd[f"{src}.attn.qkv.weight"]))
+            put((dst, "attn", "qkv", "bias"), k(sd[f"{src}.attn.qkv.bias"]))
+            put((dst, "attn", "proj", "kernel"), k(sd[f"{src}.attn.proj.weight"]))
+            put((dst, "attn", "proj", "bias"), k(sd[f"{src}.attn.proj.bias"]))
+            put((dst, "norm2", "scale"), k(sd[f"{src}.norm2.weight"]))
+            put((dst, "norm2", "bias"), k(sd[f"{src}.norm2.bias"]))
+            put((dst, "fc1", "kernel"), k(sd[f"{src}.mlp.fc1.weight"]))
+            put((dst, "fc1", "bias"), k(sd[f"{src}.mlp.fc1.bias"]))
+            put((dst, "fc2", "kernel"), k(sd[f"{src}.mlp.fc2.weight"]))
+            put((dst, "fc2", "bias"), k(sd[f"{src}.mlp.fc2.bias"]))
+        if si < len(depths) - 1:
+            put((f"merge{si}", "norm", "scale"), k(sd[f"layers.{si}.downsample.norm.weight"]))
+            put((f"merge{si}", "norm", "bias"), k(sd[f"layers.{si}.downsample.norm.bias"]))
+            put((f"merge{si}", "reduction", "kernel"),
+                k(sd[f"layers.{si}.downsample.reduction.weight"]))
+    # out norms: official backbone ckpts name them norm0..norm3 (per out idx)
+    for si in (1, 2, 3):
+        wkey = f"norm{si}.weight"
+        if wkey in sd:
+            put((f"out_norm{si}", "scale"), k(sd[wkey]))
+            put((f"out_norm{si}", "bias"), k(sd[f"norm{si}.bias"]))
+    return {"params": P}
