@@ -39,6 +39,11 @@ def get_args_parser():
     p.add_argument("--train_smoothnet", action="store_true")
     p.add_argument("--smooth_resume", default="", type=str)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--extract", action="store_true",
+                   help="dump backbone feature maps instead of training")
+    p.add_argument("--extraction_mode", default="", type=str,
+                   help="e.g. submit_pose: export predictions in ARCTIC layout")
+    p.add_argument("--dn_number", default=100, type=int)
     # model (settings.py:71-155)
     p.add_argument("--modelname", default="deformable_detr",
                    choices=["deformable_detr", "dino"])
@@ -115,7 +120,10 @@ def build_world(args):
 def build_model(args):
     from ..models.detr import UVHandDETR
 
+    use_dn = args.modelname == "dino"
     return UVHandDETR(
+        use_dn=use_dn,
+        dn_number=getattr(args, "dn_number", 100),
         num_queries=args.num_queries,
         d_model=args.hidden_dim,
         n_heads=args.nheads,
@@ -203,6 +211,60 @@ def main(args):
     eval_step = engine.make_eval_step(model, mano_r, mano_l, bank, float(args.img_res))
 
     max_steps = args.num_debug if args.debug else None
+
+    if args.extract:
+        from .extract_features import extract_features
+
+        out = extract_features(
+            model, {"params": state.params}, ds_train,
+            os.path.join(args.coco_path, "pickle"), args.setup, args.trainsplit,
+            batch_size=args.batch_size,
+        )
+        print(f"features dumped to {out}")
+        return
+
+    if args.extraction_mode:
+        from .extract_predicts import run_extraction
+
+        if args.resume:
+            state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
+        out = run_extraction(
+            model, {"params": state.params}, ds_val, args.val_batch_size,
+            os.path.join(args.output_dir, "submission"), float(args.img_res),
+        )
+        print(f"submission written to {out}")
+        return
+
+    if args.train_smoothnet:
+        from ..data.arctic import WindowDataset, collate_windows
+        from ..models.temporal.smoothnet import ArcticSmoother
+        from ..train import smoothnet_driver as sd
+        from ..losses.criterion import select_queries
+
+        if args.resume:
+            state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
+        wds = WindowDataset(ds_train, args.window_size)
+        dlw = DataLoader(wds, max(args.batch_size // args.window_size, 1),
+                         seed=args.seed, collate_fn=collate_windows)
+        smoother = ArcticSmoother(args.window_size)
+        first = next(iter(dlw))
+        first = {k: jnp.asarray(v) for k, v in first.items()}
+        outputs = model.apply({"params": state.params}, first["images"], train=False)
+        sel = select_queries({k: v[-1] for k, v in outputs["stacked"].items()})
+        sm_state = sd.create_smoother_state(smoother, sel, lr=args.lr)
+        step_sm = sd.make_smoothnet_train_step(
+            model, state.params, smoother, mano_r, mano_l, bank, float(args.img_res)
+        )
+        for epoch in range(args.epochs):
+            dlw.set_epoch(epoch)
+            for i, b in enumerate(dlw):
+                b = {k: jnp.asarray(v) for k, v in b.items()}
+                sm_state, ld = step_sm(sm_state, b, jax.random.fold_in(rng, epoch * 10000 + i))
+                if max_steps and i + 1 >= max_steps:
+                    break
+            ckpt.save_checkpoint(args.output_dir, epoch, sm_state)
+            print(f"smoothnet epoch {epoch}: loss={float(ld['total']):.4f}")
+        return
 
     if args.eval:
         ckpts = ckpt.list_checkpoints(args.resume_dir) if args.resume_dir else [None]

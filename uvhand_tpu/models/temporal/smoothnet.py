@@ -66,6 +66,7 @@ class MotionSmoother(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # (B, T, C)
+        assert self.window_size >= 3, "MotionSmoother needs window_size >= 3 (acc branch)"
         x = jnp.swapaxes(x, 1, 2)  # (B, C, T)
         pos = x
         vel = x[..., 1:] - x[..., :-1]
