@@ -104,3 +104,28 @@ def save_results(output_dir: str, epoch: int, loss_dict=None, score_dict=None):
     if score_dict is not None:
         with open(os.path.join(output_dir, "results.txt"), "a") as f:
             f.write(json.dumps({"epoch": epoch, **{k: float(v) for k, v in score_dict.items()}}) + "\n")
+
+
+class WandbLogger:
+    """Opt-in Weights & Biases logging (util/settings.py:566-580,
+    util/tools.py:643). No-ops when wandb isn't installed or --wandb unset."""
+
+    def __init__(self, enabled: bool, project: str = "uvhand_tpu", config=None,
+                 name: str | None = None):
+        self.run = None
+        if not enabled:
+            return
+        try:
+            import wandb
+
+            self.run = wandb.init(project=project, config=config, name=name)
+        except Exception as e:  # wandb absent or offline failure
+            print(f"wandb disabled: {e}")
+
+    def log(self, metrics: Dict, step: int | None = None):
+        if self.run is not None:
+            self.run.log(metrics, step=step)
+
+    def finish(self):
+        if self.run is not None:
+            self.run.finish()
