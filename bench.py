@@ -27,6 +27,10 @@ def main():
     from uvhand_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
+    # rbg PRNG: threefry bit-gen for dropout/feature-mask costs ~50% of a
+    # train step on v5e (measured 1175->582 ms); rbg is the TPU-native choice
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax
     import jax.numpy as jnp
 
     from uvhand_tpu.geometry import mano, objects
