@@ -44,7 +44,7 @@ def main():
     from uvhand_tpu.train.state import create_train_state
     from __graft_entry__ import _tiny_targets
 
-    model = UVHandDETR()  # full arctic_sf config
+    model = UVHandDETR(compute_dtype=jnp.bfloat16)  # full arctic_sf config (bf16 transformer compute)
     imgs = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, 224, 224, 3)), jnp.float32
     )

@@ -158,3 +158,14 @@ def test_custom_vjp_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl2), rtol=1e-3, atol=1e-5)
+
+
+def test_bf16_compute_close_to_fp32(rng):
+    value, loc, attn = make_inputs(rng, b=2, lq=20, m=4, d=32,
+                                   shapes=((8, 8), (4, 4)))
+    f32 = np.asarray(ms_deform_attn(jnp.asarray(value), ((8, 8), (4, 4)),
+                                    jnp.asarray(loc), jnp.asarray(attn)))
+    b16 = np.asarray(ms_deform_attn(
+        jnp.asarray(value, jnp.bfloat16), ((8, 8), (4, 4)),
+        jnp.asarray(loc), jnp.asarray(attn, jnp.bfloat16)).astype(jnp.float32))
+    np.testing.assert_allclose(b16, f32, atol=3e-3)

@@ -74,6 +74,8 @@ class UVHandDETR(nn.Module):
     dn_number: int = 100
     dn_label_noise_ratio: float = 0.5
     dn_box_noise_scale: float = 1.0
+    # bf16 transformer compute (params stay fp32); fp32 default == reference
+    compute_dtype: 'jnp.dtype' = jnp.float32
 
     def setup(self):
         if self.feature_type == "origin":
@@ -116,6 +118,7 @@ class UVHandDETR(nn.Module):
             num_queries=self.num_queries,
             num_classes=self.num_classes,
             with_box_refine=self.with_box_refine,
+            compute_dtype=self.compute_dtype,
             name="transformer",
         )
         if not self.two_stage:

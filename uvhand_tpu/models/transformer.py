@@ -65,18 +65,21 @@ class EncoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    compute_dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, train: bool):
+        dt = self.compute_dtype
         q = src if pos is None else src + pos
-        src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn")(
+        src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                            compute_dtype=dt, name="self_attn")(
             q, reference_points, src, spatial_shapes, padding_mask
         )
         src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
         src = nn.LayerNorm(name="norm1")(src)
-        ff = nn.Dense(self.d_ffn, name="linear1")(src)
+        ff = nn.Dense(self.d_ffn, dtype=dt, name="linear1")(src)
         ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(ff).astype(jnp.float32)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(ff)
         return nn.LayerNorm(name="norm2")(src)
 
@@ -88,14 +91,17 @@ class DecoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    compute_dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes, src_padding_mask, train: bool, self_attn_mask=None):
+        dt = self.compute_dtype
         q = tgt if query_pos is None else tgt + query_pos
         tgt2 = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             dropout_rate=self.dropout,
             deterministic=not train,
+            dtype=dt,
             name="self_attn",
         )(
             inputs_q=q, inputs_k=q, inputs_v=tgt,
@@ -105,7 +111,8 @@ class DecoderLayer(nn.Module):
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
         tgt = nn.LayerNorm(name="norm2")(tgt)
 
-        tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn")(
+        tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                            compute_dtype=dt, name="cross_attn")(
             tgt if query_pos is None else tgt + query_pos,
             reference_points,
             src,
@@ -115,9 +122,9 @@ class DecoderLayer(nn.Module):
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
         tgt = nn.LayerNorm(name="norm1")(tgt)
 
-        ff = nn.Dense(self.d_ffn, name="linear1")(tgt)
+        ff = nn.Dense(self.d_ffn, dtype=dt, name="linear1")(tgt)
         ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(ff).astype(jnp.float32)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ff)
         return nn.LayerNorm(name="norm3")(tgt)
 
@@ -190,12 +197,14 @@ class DeformableTransformer(nn.Module):
     num_classes: int = 14
     with_box_refine: bool = True
     two_stage_learn_xy: bool = True
+    compute_dtype: 'jnp.dtype' = jnp.float32
 
     def setup(self):
         self.enc_layers = [
             EncoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.n_heads, self.enc_n_points,
+                compute_dtype=self.compute_dtype,
                 name=f"encoder_layer{i}",
             )
             for i in range(self.num_encoder_layers)
@@ -204,6 +213,7 @@ class DeformableTransformer(nn.Module):
             DecoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.n_heads, self.dec_n_points,
+                compute_dtype=self.compute_dtype,
                 name=f"decoder_layer{i}",
             )
             for i in range(self.num_decoder_layers)
