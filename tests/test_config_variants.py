@@ -1,0 +1,64 @@
+"""All reference model configs train a step end-to-end (BASELINE configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uvhand_tpu.geometry import mano, objects
+from uvhand_tpu.models.detr import UVHandDETR
+from uvhand_tpu.train.state import create_train_state
+from uvhand_tpu.train.step import make_train_step
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from __graft_entry__ import _tiny_targets
+
+B = 2
+COMMON = dict(num_queries=12, num_encoder_layers=1, num_decoder_layers=2,
+              d_model=64, dim_feedforward=128, n_heads=4, dropout=0.0,
+              feature_mask_ratio=0.0)
+
+
+@pytest.mark.parametrize("cfg,two_stage", [
+    (dict(two_stage=False, with_box_refine=False), False),   # config 1
+    (dict(two_stage=True, with_box_refine=True), True),      # config 2 (R50)
+    (dict(two_stage=True, with_box_refine=True, use_dn=True, dn_number=12), True),  # config 4 DINO
+    (dict(two_stage=True, with_box_refine=True, compute_dtype=jnp.bfloat16), True),  # bf16
+])
+def test_variant_trains(cfg, two_stage):
+    model = UVHandDETR(**COMMON, **cfg)
+    imgs = jnp.zeros((B, 64, 64, 3), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, imgs,
+        train=cfg.get("use_dn", False),
+        dn_targets={"labels": _tiny_targets(B)["labels"],
+                    "keypoints": _tiny_targets(B)["keypoints"],
+                    "target_valid": _tiny_targets(B)["target_valid"]}
+        if cfg.get("use_dn") else None,
+    )
+    state = create_train_state(model, params, lr=1e-4)
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    bank = objects.synthetic_object_bank(2)
+
+    from uvhand_tpu.losses.criterion import arctic_criterion
+
+    targets = _tiny_targets(B)
+
+    def loss_fn(p, rng):
+        out = model.apply(
+            {"params": p}, imgs, train=True,
+            dn_targets={k: targets[k] for k in ("labels", "keypoints", "target_valid")}
+            if cfg.get("use_dn") else None,
+            rngs={"dropout": rng, "feature_mask": jax.random.fold_in(rng, 1),
+                  "dn": jax.random.fold_in(rng, 2)},
+        )
+        return arctic_criterion(out, targets, mano_r, mano_l, bank,
+                                two_stage=two_stage)[0]
+
+    total, grads = jax.value_and_grad(loss_fn)(state.params, jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(grads))
+    assert np.isfinite(gn) and gn > 0
