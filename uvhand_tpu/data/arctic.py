@@ -64,6 +64,7 @@ class ArcticDataset:
         seed: int = 0,
         kp3d_cano: Optional[np.ndarray] = None,  # (O, 16, 3) object bottom kps
         two_stage: bool = True,
+        eval_mode: bool = False,  # getitem_eval: images+K only, GT withheld
     ):
         self.root = root
         self.img_res = img_res
@@ -75,6 +76,9 @@ class ArcticDataset:
         self.aug = split.endswith("train") if aug is None else aug
         self.seed = seed
         self.two_stage = two_stage
+        self.eval_mode = eval_mode
+        if eval_mode:
+            self.aug = False
 
         short = split.replace("mini", "").replace("tiny", "").replace("small", "")
         data = np.load(
@@ -109,9 +113,16 @@ class ArcticDataset:
         obj_name = "".join(c for c in seq_name.split("_")[0] if not c.isdigit())
         view_idx = int(view_s)
         seq = self.data[f"{sid}/{seq_name}"]
+        vidx = int(image_idx.split(".")[0]) - self.ioi_offset[sid]
+
+        if self.eval_mode:
+            # getitem_eval (arctic_dataset.py:487): crop + intrinsics only;
+            # GT withheld on the test server
+            return self._getitem_eval(imgname, sid, seq_name, view_idx, vidx,
+                                      seq["bbox"], seq.get("params", {}))
+
         cam, d2, bbox_all, params = seq["cam_coord"], seq["2d"], seq["bbox"], seq["params"]
 
-        vidx = int(image_idx.split(".")[0]) - self.ioi_offset[sid]
         is_valid = float(cam["is_valid"][vidx, view_idx])
         right_valid = int(cam["right_valid"][vidx, view_idx])
         left_valid = int(cam["left_valid"][vidx, view_idx])
@@ -273,6 +284,49 @@ class ArcticDataset:
             "object.rot": obj_rot.astype(np.float32),
             "intrinsics": K.astype(np.float32),
             "query_idx": np.int32(query_idx),
+            "imgname": imgname,
+        }
+
+
+    def _getitem_eval(self, imgname, sid, seq_name, view_idx, vidx, bbox_all, params):
+        import cv2
+
+        is_egocam = view_idx == 0
+        if view_idx == 0 and "K_ego" in params:
+            intrx = np.array(params["K_ego"][vidx], np.float32)
+        elif view_idx > 0:
+            intrx = np.array(self.intris_mat[sid][view_idx - 1], np.float32)
+        else:
+            intrx = np.eye(3, dtype=np.float32)
+
+        bbox = list(np.array(bbox_all[vidx, view_idx], np.float64))
+        if self.speedup:
+            if is_egocam:
+                bbox = [v * self.ego_image_scale for v in bbox]
+            else:
+                bbox = [500.0, 500.0, 1000.0 / (1.5 * 200)]
+        center, scale = [bbox[0], bbox[1]], bbox[2]
+
+        cv_img = cv2.imread(self._img_path(imgname))
+        if cv_img is None:
+            cv_img = np.zeros((600, 840, 3), np.float32)
+        else:
+            cv_img = cv2.cvtColor(cv_img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        augm = augment.augm_params(np.random.default_rng(0), False)
+        img = augment.normalize_image(
+            augment.rgb_processing(cv_img, center, scale, augm, self.img_res)
+        )
+        sc_orig = max(self.image_sizes[sid][view_idx]) / 200.0
+        c_orig = [s / 2.0 for s in self.image_sizes[sid][view_idx]]
+        K = augment.get_aug_intrinsics(
+            intrx, self.focal_length, self.img_res, is_egocam,
+            c_orig[0], c_orig[1], sc_orig,
+        )
+        obj_name = "".join(c for c in seq_name.split("_")[0] if not c.isdigit())
+        return {
+            "images": img.astype(np.float32),
+            "intrinsics": K.astype(np.float32),
+            "query_idx": np.int32(OBJECT_NAMES.index(obj_name)),
             "imgname": imgname,
         }
 
