@@ -44,6 +44,8 @@ def get_args_parser():
     p.add_argument("--extraction_mode", default="", type=str,
                    help="e.g. submit_pose: export predictions in ARCTIC layout")
     p.add_argument("--dn_number", default=100, type=int)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 transformer compute (params stay fp32)")
     # model (settings.py:71-155)
     p.add_argument("--modelname", default="deformable_detr",
                    choices=["deformable_detr", "dino"])
@@ -120,10 +122,13 @@ def build_world(args):
 def build_model(args):
     from ..models.detr import UVHandDETR
 
+    import jax.numpy as jnp
+
     use_dn = args.modelname == "dino"
     return UVHandDETR(
         use_dn=use_dn,
         dn_number=getattr(args, "dn_number", 100),
+        compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         num_queries=args.num_queries,
         d_model=args.hidden_dim,
         n_heads=args.nheads,

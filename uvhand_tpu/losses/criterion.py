@@ -394,5 +394,13 @@ def arctic_criterion(
             loss_dict[f"{name}_interm"] = val
             total = total + weights.get(name, 0.0) * val
 
+    # cardinality error (logging only, actic_detr.py:418-434): predictions
+    # with argmax != 0 vs number of valid targets
+    card_pred = jnp.sum(jnp.argmax(st["pred_logits"][-1], -1) != 0, axis=1)
+    tgt_len = jnp.sum(tgt_valid, axis=1)
+    loss_dict["cardinality_error"] = jnp.mean(
+        jnp.abs(card_pred.astype(jnp.float32) - tgt_len.astype(jnp.float32))
+    )
+
     loss_dict["total"] = total
     return total, loss_dict
