@@ -59,3 +59,12 @@ def test_fused_train_and_eval_epoch(world, tmp_path):
     state4 = load_checkpoint(ckpts[0], state2, not_use_params=["transformer"], load_opt=False)
     d2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state4.params["transformer"], state2.params["transformer"])
     assert max(jax.tree.leaves(d2)) == 0.0
+
+
+def test_sequence_eval(world):
+    ds, model, params, mano_r, mano_l, bank = world
+    seq_step = engine.make_sequence_eval_step(model, mano_r, mano_l, bank)
+    scores = engine.evaluate_sequences(params["params"], seq_step, ds, batch_size=2)
+    assert "acc/h" in scores and "acc/o" in scores and "mdev/h" in scores
+    # acc finite (4-frame synthetic sequence gives 2 interior accels)
+    assert np.isfinite(scores["acc/h"])

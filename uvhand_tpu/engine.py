@@ -95,6 +95,78 @@ def train_one_epoch(state, step_fn, loader, epoch: int, rng,
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 
+def make_sequence_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0):
+    """Forward + decode returning camera-space pred/target tensors so the
+    host can assemble whole sequences for acc/mdev (measure_error skips them
+    in the per-batch loop — arctic_tools/process.py:308-310)."""
+
+    @jax.jit
+    def step(params, batch):
+        targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
+        outputs = model.apply({"params": params}, batch["images"], train=False)
+        st = outputs["stacked"]
+        selected = select_queries({k: v[-1] for k, v in st.items()})
+        pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
+        keep_pred = {k: pred[k] for k in (
+            "mano.v3d.cam.r", "mano.v3d.cam.l", "mano.j3d.cam.r", "mano.j3d.cam.l",
+            "object.v.cam", "object.radian",
+        )}
+        keep_tgt = {k: targets[k] for k in (
+            "mano.v3d.cam.r", "mano.v3d.cam.l", "mano.j3d.cam.r", "mano.j3d.cam.l",
+            "object.v.cam", "object.parts_ids", "object.radian",
+            "is_valid", "left_valid", "right_valid", "dist.ro", "dist.lo",
+            "idx.ro", "idx.lo",
+        )}
+        return keep_pred, keep_tgt
+
+    return step
+
+
+def evaluate_sequences(params, seq_step, dataset, batch_size: int = 16,
+                       max_frames: Optional[int] = None) -> Dict[str, float]:
+    """Whole-sequence metrics: ACC (m/s^2) and MDev (mm) over time-ordered
+    frames per (subject, seq, view)."""
+    from .data.arctic import collate
+    from .evaluation.mdev import eval_motion_deviation
+    from .evaluation.metrics import eval_acc_pose
+
+    groups: Dict[str, list] = {}
+    for i, n in enumerate(dataset.imgnames):
+        sid, seq, view, _ = n.split("/")[-4:]
+        groups.setdefault(f"{sid}/{seq}/{view}", []).append(i)
+
+    accs, mdevs = {"acc/h": [], "acc/o": []}, []
+    for key, ids in groups.items():
+        ids = sorted(ids, key=lambda i: dataset.imgnames[i])
+        if max_frames:
+            ids = ids[:max_frames]
+        preds, tgts = [], []
+        for s in range(0, len(ids), batch_size):
+            chunk = ids[s : s + batch_size]
+            pad = batch_size - len(chunk)
+            samples = [dataset[i] for i in chunk + [chunk[-1]] * pad]
+            batch = {k: jnp.asarray(v) for k, v in collate(samples).items()}
+            p, t = seq_step(params, batch)
+            trim = len(chunk)
+            preds.append({k: np.asarray(v)[:trim] for k, v in p.items()})
+            tgts.append({k: np.asarray(v)[:trim] for k, v in t.items()})
+        pred = {k: np.concatenate([b[k] for b in preds]) for k in preds[0]}
+        tgt = {k: np.concatenate([b[k] for b in tgts]) for k in tgts[0]}
+        acc = eval_acc_pose(
+            {k: jnp.asarray(v) for k, v in pred.items()},
+            {k: jnp.asarray(v) for k, v in tgt.items()},
+        )
+        for k in accs:
+            accs[k].append(np.asarray(acc[k]))
+        md = eval_motion_deviation(pred, tgt)
+        if len(md["mdev/h"]):
+            mdevs.append(md["mdev/h"])
+
+    out = {k: float(np.nanmean(np.concatenate(v))) for k, v in accs.items() if v}
+    out["mdev/h"] = float(np.nanmean(np.concatenate(mdevs))) if mdevs else float("nan")
+    return out
+
+
 def evaluate(params, eval_step, loader, sharding=None,
              max_steps: Optional[int] = None) -> Dict[str, float]:
     per_metric = {}
