@@ -282,6 +282,14 @@ def main(args):
                 state = ckpt.load_checkpoint(c, state, args.not_use_params)
             scores = engine.evaluate(state.params, eval_step, dl_val,
                                      sharding=sharding, max_steps=max_steps)
+            if args.full_validation:
+                seq_step = engine.make_sequence_eval_step(
+                    model, mano_r, mano_l, bank, float(args.img_res)
+                )
+                scores.update(engine.evaluate_sequences(
+                    state.params, seq_step, ds_val, args.val_batch_size,
+                    max_frames=args.num_debug * args.val_batch_size if args.debug else None,
+                ))
             print(json.dumps(scores, indent=2))
             from ..utils.logging import save_results
 
