@@ -124,6 +124,19 @@ def build_model(args):
 
     import jax.numpy as jnp
 
+    if args.dataset_file in ("AssemblyHands", "H2O", "FPHA"):
+        # 2.5D keypoint variant (reference models/assembly_detr.py dispatch,
+        # models/__init__.py:15-30)
+        from ..models.assembly import AssemblyDETR
+
+        return AssemblyDETR(
+            num_classes=12,
+            d_model=args.hidden_dim,
+            num_encoder_layers=args.enc_layers,
+            num_decoder_layers=args.dec_layers,
+            num_feature_levels=args.num_feature_levels,
+        )
+
     use_dn = args.modelname == "dino"
     return UVHandDETR(
         use_dn=use_dn,
