@@ -1,25 +1,318 @@
-"""Pallas MSDA kernel (blocked: toolchain).
+"""Pallas MSDA kernel: dense hat-product formulation (gather-free).
 
-The fused gather+reduce kernel design is ready (corner-fused 4*D-wide table
-rows; per-head column groups so ONE `tpu.dynamic_gather` serves all heads;
-chunked same-shape gathers sized to the table; backward via per-head one-hot
-MXU contractions accumulated across chunks — see PERF.md), but Mosaic's
-`tpu.dynamic_gather` lowering (`jnp.take_along_axis` inside a kernel)
-currently CRASHES the axon remote Mosaic compiler in this image
-(HTTP 500, tpu_compile_helper exit 1 — minimal repro: a (512, 128)
-take_along_axis kernel).
+The reference implements MSDA as CUDA scatter/gather kernels
+(`/root/reference/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238` forward +
+6 col2im backward variants). Round 1's XLA formulation (ops/msda.py) is
+correct but HBM-bound: the gathered (B,Lq,M,LP,4D) footprint and the expanded
+weights are ~1 GB of traffic per encoder layer. Round 1's direct translation
+attempt (an in-kernel `take_along_axis`) also crashes this toolchain's Mosaic
+compiler (`tpu.dynamic_gather`, PERF.md).
 
-Until the toolchain updates, `impl="xla"` (ops/msda.py) is the production
-path: a single flat lane-aligned gather + custom VJP, profiled at ~23 ms
-fwd / ~18 ms bwd per encoder layer (B=16, fp32) and verified bit-exact
-against the torch grid_sample oracle.
+This kernel sidesteps gathers entirely. grid_sample's bilinear-with-zeros is
+an inner product against a *dense* weight row that is almost all zeros:
+
+    out[q] = sum_s W[q, s] * V[s]     with
+    W[q, s] = sum_p attn[q,p] * relu(1 - |py[q,p] - sy[s]|)
+                              * relu(1 - |px[q,p] - sx[s]|)
+
+where (sy, sx) are each cell's integer pixel coordinates. The relu-hat is
+exactly grid_sample's bilinear weight INCLUDING zero padding (out-of-range
+corners get weight 0 automatically — no clamping, no masks). So per
+(batch*head, query-tile): build W in VMEM with pure VPU ops (no indexing at
+all), then contract with the level's value slab on the MXU. Per-level
+blocking keeps the build cost at Lq * P * S total hat evaluations.
+
+Everything stays on-chip: value is read once (~17 MB vs ~1 GB of gather
+traffic), W never touches HBM. The backward recomputes W (recompute-style
+VJP, like the XLA path) and produces:
+    dV   = W^T @ g                      (MXU, accumulated across query tiles)
+    G    = g @ V^T                      (MXU)
+    dattn[q,p] = sum_s hat_p[q,s] G[q,s]
+    dpx/dpy    = attn * sum_s dhat * G  (VPU row reductions)
+— no scatters anywhere, matching the CUDA backward's role with TPU idioms.
+
+Numerical contract: `ms_deform_attn_core_pytorch`
+(`/root/reference/models/ops/functions/ms_deform_attn_func.py:42-62`).
+fp32 inputs use HIGHEST matmul precision (parity mode); bf16 uses the MXU's
+native path.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SEG_ALIGN = 128  # per-level segment padding: lane alignment for W / dots
+Q_TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _level_plan(spatial_shapes: Tuple[Tuple[int, int], ...]):
+    sizes = tuple(h * w for h, w in spatial_shapes)
+    seg = tuple(_round_up(s, SEG_ALIGN) for s in sizes)
+    offs = tuple(int(o) for o in np.cumsum((0,) + seg[:-1]))
+    return sizes, seg, offs, int(sum(seg))
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_maps(spatial_shapes: Tuple[Tuple[int, int], ...]):
+    """(1, S_pad) per-cell pixel row/col maps; padding slots -1e6 => hat 0."""
+    sizes, seg, offs, S_pad = _level_plan(spatial_shapes)
+    sy = np.full((1, S_pad), -1e6, np.float32)
+    sx = np.full((1, S_pad), -1e6, np.float32)
+    for (h, w), sz, off in zip(spatial_shapes, sizes, offs):
+        ar = np.arange(sz)
+        sy[0, off : off + sz] = ar // w
+        sx[0, off : off + sz] = ar % w
+    return sy, sx
+
+
+def _precision(dtype):
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def _fwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
+                v_ref, out_ref):
+    acc = None
+    for l, (off, seg) in enumerate(levels):
+        sy = sy_ref[:, off : off + seg]  # (1, seg)
+        sx = sx_ref[:, off : off + seg]
+        w = None
+        for p in range(P):
+            k = l * P + p
+            py = py_ref[0, :, k : k + 1]  # (Qt, 1)
+            px = px_ref[0, :, k : k + 1]
+            aw = aw_ref[0, :, k : k + 1]
+            hat = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0) * jnp.maximum(
+                1.0 - jnp.abs(px - sx), 0.0
+            )  # (Qt, seg)
+            term = (aw * hat)
+            w = term if w is None else w + term
+        v_l = v_ref[0, off : off + seg, :]  # (seg, D)
+        d = jnp.dot(
+            w.astype(vdt), v_l, preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _bwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
+                v_ref, g_ref, dv_ref, dpy_ref, dpx_ref, daw_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    g = g_ref[0]  # (Qt, D)
+    dpy_cols, dpx_cols, daw_cols = [], [], []
+    for l, (off, seg) in enumerate(levels):
+        sy = sy_ref[:, off : off + seg]
+        sx = sx_ref[:, off : off + seg]
+        v_l = v_ref[0, off : off + seg, :]
+        # G[q, s] = sum_d g[q, d] V[s, d]
+        G = jax.lax.dot_general(
+            g, v_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (Qt, seg)
+        wsum = None
+        for p in range(P):
+            k = l * P + p
+            py = py_ref[0, :, k : k + 1]
+            px = px_ref[0, :, k : k + 1]
+            aw = aw_ref[0, :, k : k + 1]
+            dy = py - sy
+            dx = px - sx
+            wy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
+            wx = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
+            hat = wy * wx
+            daw_cols.append(jnp.sum(hat * G, axis=1, keepdims=True))
+            term = aw * hat
+            wsum = term if wsum is None else wsum + term
+            # d(hat)/dpy = wx * dwy, with dwy = -sign(dy) on the open support
+            dwy = jnp.where(wy > 0, -jnp.sign(dy), 0.0)
+            dwx = jnp.where(wx > 0, -jnp.sign(dx), 0.0)
+            dpy_cols.append(jnp.sum((aw * dwy) * wx * G, axis=1, keepdims=True))
+            dpx_cols.append(jnp.sum((aw * dwx) * wy * G, axis=1, keepdims=True))
+        # dV_l = W^T @ g, accumulated across query tiles
+        dvl = jax.lax.dot_general(
+            wsum.astype(vdt), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (seg, D)
+        dv_ref[0, off : off + seg, :] += dvl.astype(dv_ref.dtype)
+    dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
+    dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
+    daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
+
+
+# ------------------------------------------------------------- layout glue
+
+
+def _layouts(spatial_shapes, value, loc, attn):
+    """XLA-side layout prep shared by fwd and bwd."""
+    B, S, M, D = value.shape
+    Lq, P = loc.shape[1], loc.shape[4]
+    L = len(spatial_shapes)
+    sizes, seg, offs, S_pad = _level_plan(spatial_shapes)
+    Qt = min(Q_TILE, _round_up(Lq, 8))
+    Lq_pad = _round_up(Lq, Qt)
+
+    Hs = jnp.asarray([h for h, w in spatial_shapes], jnp.float32).reshape(1, 1, 1, L, 1)
+    Ws = jnp.asarray([w for h, w in spatial_shapes], jnp.float32).reshape(1, 1, 1, L, 1)
+    locf = loc.astype(jnp.float32)
+    px = locf[..., 0] * Ws - 0.5  # (B, Lq, M, L, P)
+    py = locf[..., 1] * Hs - 0.5
+
+    def to_bm(x):  # (B, Lq, M, L, P) -> (B*M, Lq_pad, L*P)
+        x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B * M, Lq, L * P)
+        return jnp.pad(x, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
+
+    pxb, pyb = to_bm(px), to_bm(py)
+    awb = to_bm(attn.astype(jnp.float32))
+
+    vt = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    parts, cur = [], 0
+    for sz, sg in zip(sizes, seg):
+        part = jax.lax.slice_in_dim(vt, cur, cur + sz, axis=1)
+        parts.append(jnp.pad(part, ((0, 0), (0, sg - sz), (0, 0))))
+        cur += sz
+    vp = jnp.concatenate(parts, axis=1)  # (B*M, S_pad, D)
+
+    sy_np, sx_np = _grid_maps(spatial_shapes)
+    return dict(
+        B=B, S=S, M=M, D=D, Lq=Lq, P=P, L=L, sizes=sizes, seg=seg, offs=offs,
+        S_pad=S_pad, Qt=Qt, Lq_pad=Lq_pad, Hs=Hs, Ws=Ws,
+        pxb=pxb, pyb=pyb, awb=awb, vp=vp,
+        sy=jnp.asarray(sy_np), sx=jnp.asarray(sx_np),
+        levels=tuple(zip(offs, seg)),
+    )
+
+
+def _q_spec(Qt, LP):
+    return pl.BlockSpec((1, Qt, LP), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM)
+
+
+def _const_spec(S_pad):
+    return pl.BlockSpec((1, S_pad), lambda bm, q: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _v_spec(S_pad, D):
+    return pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _msda_pallas(spatial_shapes, value, loc, attn):
+    ly = _layouts(spatial_shapes, value, loc, attn)
+    B, M, D, Lq, Qt = ly["B"], ly["M"], ly["D"], ly["Lq"], ly["Qt"]
+    LP = ly["L"] * ly["P"]
+    kernel = functools.partial(
+        _fwd_kernel, ly["levels"], ly["P"], _precision(value.dtype), value.dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * M, ly["Lq_pad"] // Qt),
+        in_specs=[
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+            _const_spec(ly["S_pad"]), _const_spec(ly["S_pad"]),
+            _v_spec(ly["S_pad"], D),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * M, ly["Lq_pad"], D), value.dtype),
+        interpret=_interpret(),
+    )(ly["pyb"], ly["pxb"], ly["awb"], ly["sy"], ly["sx"], ly["vp"])
+    out = out[:, :Lq].reshape(B, M, Lq, D)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
+def _msda_pallas_fwd(spatial_shapes, value, loc, attn):
+    return _msda_pallas(spatial_shapes, value, loc, attn), (value, loc, attn)
+
+
+def _msda_pallas_bwd(spatial_shapes, res, g):
+    value, loc, attn = res
+    ly = _layouts(spatial_shapes, value, loc, attn)
+    B, S, M, D = value.shape
+    Lq, P, L, Qt = ly["Lq"], ly["P"], ly["L"], ly["Qt"]
+    LP = L * P
+    S_pad, Lq_pad = ly["S_pad"], ly["Lq_pad"]
+
+    gb = g.reshape(B, Lq, M, D).astype(value.dtype)
+    gb = jnp.transpose(gb, (0, 2, 1, 3)).reshape(B * M, Lq, D)
+    gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
+
+    kernel = functools.partial(
+        _bwd_kernel, ly["levels"], P, _precision(value.dtype), value.dtype
+    )
+    dv, dpy, dpx, daw = pl.pallas_call(
+        kernel,
+        grid=(B * M, Lq_pad // Qt),
+        in_specs=[
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+            _const_spec(S_pad), _const_spec(S_pad),
+            _v_spec(S_pad, D),
+            pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0), memory_space=pltpu.VMEM),
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * M, S_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(ly["pyb"], ly["pxb"], ly["awb"], ly["sy"], ly["sx"], ly["vp"], gb)
+
+    # dvalue: unpad level segments, restore (B, S, M, D)
+    parts, cur = [], 0
+    for sz, (off, sg) in zip(ly["sizes"], ly["levels"]):
+        parts.append(jax.lax.slice_in_dim(dv, off, off + sz, axis=1))
+    dvs = jnp.concatenate(parts, axis=1).reshape(B, M, S, D)
+    dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(value.dtype)
+
+    def from_bm(x):  # (B*M, Lq_pad, LP) -> (B, Lq, M, L, P)
+        x = x[:, :Lq].reshape(B, M, Lq, L, P)
+        return jnp.transpose(x, (0, 2, 1, 3, 4))
+
+    # chain rule through px = loc_x * W_l - 0.5 (and py / H_l)
+    dloc = jnp.stack(
+        [from_bm(dpx) * ly["Ws"], from_bm(dpy) * ly["Hs"]], axis=-1
+    ).astype(loc.dtype)
+    dattn = from_bm(daw).astype(attn.dtype)
+    return dvalue, dloc, dattn
+
+
+_msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
+
 
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights):
-    raise NotImplementedError(
-        "Pallas MSDA is blocked on a Mosaic dynamic_gather compiler crash in "
-        "this toolchain (see module docstring and PERF.md); use impl='xla'."
+    """MSDA with the Pallas dense hat-product kernel. Same contract as
+    `ops.msda.ms_deform_attn` (see that module's docstring for shapes)."""
+    return _msda_pallas(
+        tuple(tuple(s) for s in spatial_shapes),
+        value, sampling_locations, attention_weights,
     )
