@@ -1,0 +1,127 @@
+"""TempoTrainDataset (per-frame-centered training windows) + split_window.
+
+Parity target: `/root/reference/arctic_tools/src/datasets/tempo_dataset.py:57-103`
+— window indices arange(T)-(T-1)/2+frame clipped to [10, n-10-1], targets
+per-frame (split_window) or center-frame only.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uvhand_tpu import engine
+from uvhand_tpu.data import arctic
+from uvhand_tpu.data.loader import DataLoader
+from uvhand_tpu.geometry import mano, objects
+from uvhand_tpu.models.detr import UVHandDETR
+from uvhand_tpu.train.state import create_train_state
+
+from functools import partial
+
+T = 4
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("arctic_tempo"))
+    arctic.make_synthetic_root(d, num_seqs=1, frames=8, views=1)
+    bank = objects.synthetic_object_bank(2)
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    ds = arctic.ArcticDataset(d, "p1", "train", kp3d_cano=np.asarray(bank.kp_bottom))
+    model = UVHandDETR(
+        num_queries=12, num_encoder_layers=1, num_decoder_layers=2,
+        d_model=64, dim_feedforward=128, n_heads=4, dropout=0.0,
+        feature_mask_ratio=0.0,
+    )
+    return d, ds, model, mano_r, mano_l, bank
+
+
+def test_window_indexing_and_clipping(world):
+    _, ds, *_ = world
+    tds = arctic.TempoTrainDataset(ds, window_size=T)
+    # one item per frame
+    assert len(tds) == len(ds)
+    item = tds[0]
+    assert item["images"].shape[0] == T
+    # 8-frame synthetic sequence: clip range degrades to [lo, hi] with lo <= hi
+    names = item["imgname"]
+    assert len(names) == T
+    # frames are time-ordered and within one (sid, seq, view) group
+    dirs = {"/".join(n.split("/")[:-1]) for n in names}
+    assert len(dirs) == 1
+    idxs = [int(n.split("/")[-1].split(".")[0]) for n in names]
+    assert idxs == sorted(idxs)
+    # center_pos points at the window slot matching the item's own frame
+    cp = int(item["center_pos"])
+    assert 0 <= cp < T
+
+
+def test_reference_clip_semantics():
+    """Index math matches tempo_dataset.py:60-71 for a long sequence."""
+    # emulate: frame 3 of a 64-frame sequence, window 8 -> all clipped to >= 10
+    n, T8, pos = 64, 8, 3
+    ind = (np.arange(T8) - (T8 - 1) / 2 + pos).astype(np.int64)
+    ref = np.clip(ind, 10, n - 10 - 1)
+    assert ref.min() == 10  # the reference clips the early frames up to 10
+    # mid-sequence frame is centered and unclipped
+    pos = 30
+    ind = np.clip((np.arange(T8) - (T8 - 1) / 2 + pos).astype(np.int64), 10, n - 11)
+    # even window: offsets -3.5..3.5 truncate toward zero (reference :60-62)
+    assert list(ind) == [26, 27, 28, 29, 30, 31, 32, 33]
+
+
+@pytest.mark.parametrize("split_window", [True, False])
+def test_tempo_train_loss_decreases(world, split_window):
+    _, ds, model, mano_r, mano_l, bank = world
+    tds = arctic.TempoTrainDataset(ds, window_size=T, split_window=split_window)
+    dl = DataLoader(
+        tds, batch_size=2, seed=0,
+        collate_fn=partial(arctic.collate_tempo_train, split_window=split_window),
+    )
+    batch = {k: jnp.asarray(v) for k, v in next(iter(dl)).items()}
+    assert batch["images"].shape[0] == 2 * T
+    if split_window:
+        assert batch["labels"].shape[0] == 2 * T
+        assert "center_index" not in batch
+    else:
+        assert batch["labels"].shape[0] == 2
+        assert batch["center_index"].shape == (2,)
+        assert int(batch["center_index"].max()) < 2 * T
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
+    )
+    state = create_train_state(model, params, lr=2e-4)
+    step = engine.make_fused_train_step(model, mano_r, mano_l, bank)
+    losses = []
+    for i in range(8):
+        state, ld = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(ld["total"]))
+        assert np.isfinite(losses[-1]), (i, ld)
+    assert losses[-1] < losses[0], losses
+
+
+def test_select_output_frames_consistency(world):
+    """Criterion on gathered center frames == criterion on a center-only
+    forward (same frames, no window context in this non-temporal model)."""
+    _, ds, model, mano_r, mano_l, bank = world
+    tds = arctic.TempoTrainDataset(ds, window_size=T, split_window=False)
+    dl = DataLoader(
+        tds, batch_size=2, seed=0,
+        collate_fn=partial(arctic.collate_tempo_train, split_window=False),
+    )
+    batch = {k: jnp.asarray(v) for k, v in next(iter(dl)).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch["images"][:1])
+
+    outputs = model.apply({"params": params["params"]}, batch["images"], train=False)
+    sel = engine.select_output_frames(outputs, batch["center_index"])
+    direct = model.apply(
+        {"params": params["params"]}, batch["images"][batch["center_index"]], train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(sel["stacked"]["pred_logits"]),
+        np.asarray(direct["stacked"]["pred_logits"]),
+        rtol=2e-5, atol=2e-5,
+    )

@@ -81,6 +81,8 @@ def get_args_parser():
                    choices=["arctic_sf", "arctic_lstm"])
     p.add_argument("--setup", default="p1")
     p.add_argument("--window_size", default=1, type=int)
+    p.add_argument("--split_window", action="store_true",
+                   help="arctic_lstm: per-frame targets (default: center-frame only)")
     p.add_argument("--trainsplit", default="train")
     p.add_argument("--valsplit", default="val")
     p.add_argument("--img_res", default=224, type=int)
@@ -198,7 +200,22 @@ def main(args):
         focal_length=args.focal_length, kp3d_cano=kp3d_cano,
         two_stage=args.two_stage,
     )
-    dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed)
+    if args.method == "arctic_lstm" and not args.eval and not args.train_smoothnet:
+        # temporal training: per-frame-centered windows (TempoDataset,
+        # tempo_dataset.py:57-103), flattened to a B*T frame axis; targets
+        # per-frame (--split_window) or center-frame only
+        from functools import partial as _partial
+
+        tds = arctic_data.TempoTrainDataset(
+            ds_train, args.window_size, split_window=args.split_window
+        )
+        dl_train = DataLoader(
+            tds, max(args.batch_size // args.window_size, 1), seed=args.seed,
+            collate_fn=_partial(arctic_data.collate_tempo_train,
+                                split_window=args.split_window),
+        )
+    else:
+        dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed)
     dl_val = DataLoader(ds_val, args.val_batch_size, shuffle=False, drop_last=False)
 
     imgs = jnp.zeros((1, args.img_res, args.img_res, 3), jnp.float32)

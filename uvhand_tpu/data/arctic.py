@@ -401,6 +401,79 @@ class WindowDataset:
         return out
 
 
+class TempoTrainDataset:
+    """Training windows centered per frame (`TempoDataset`,
+    `/root/reference/arctic_tools/src/datasets/tempo_dataset.py:57-103`):
+    one item per frame; the window indices are
+    `arange(T) - (T-1)/2 + frame`, clipped to `[10, n-10-1]` because the
+    first/last 10 frames of each ARCTIC sequence "are not useful" (:69-71).
+    `split_window` (tempo_dataset.py:93-103) picks target granularity:
+    True = per-frame targets; False = center-frame targets only, carried
+    statically as `center_pos` so the collate can slice without ragged
+    shapes. Sequences shorter than 21 frames (test fixtures) degrade to the
+    widest valid clip range instead of the reference's hard assumption."""
+
+    CLIP = 10
+
+    def __init__(self, base: "ArcticDataset", window_size: int, split_window: bool = True):
+        self.base = base
+        self.window_size = window_size
+        self.split_window = split_window
+        groups: Dict[str, List[str]] = {}
+        for n in base.imgnames:
+            sid, seq, view, _ = n.split("/")[-4:]
+            groups.setdefault(f"{sid}/{seq}/{view}", []).append(n)
+        self.groups = {k: sorted(v) for k, v in groups.items()}
+        self.items = [(k, i) for k, v in self.groups.items() for i in range(len(v))]
+        self._name_to_idx = {n: i for i, n in enumerate(base.imgnames)}
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        key, pos = self.items[index]
+        names = self.groups[key]
+        n, T = len(names), self.window_size
+        lo = min(self.CLIP, max((n - 1) // 2, 0))
+        hi = max(n - self.CLIP - 1, lo)
+        ind = (np.arange(T) - (T - 1) / 2 + pos).astype(np.int64)
+        ind = np.clip(ind, lo, hi)
+        samples = [self.base[self._name_to_idx[names[i]]] for i in ind]
+        out = {}
+        for k in samples[0]:
+            if k == "imgname":
+                out["imgname"] = [s["imgname"] for s in samples]
+                continue
+            out[k] = np.stack([s[k] for s in samples], 0)  # (T, ...)
+        out["center_pos"] = np.int32(np.argmin(np.abs(ind - np.clip(pos, lo, hi))))
+        return out
+
+
+def collate_tempo_train(
+    samples: List[Dict[str, np.ndarray]], split_window: bool = True
+) -> Dict[str, np.ndarray]:
+    """Window-train collate (`collate_custom_fn`, factory.py:56-116): images
+    always flatten (B, T) -> B*T for the frame-parallel model; targets stay
+    per-frame when `split_window`, else only the center frame's targets are
+    kept plus `center_index` rows into the flattened batch (consumed by
+    `engine.select_output_frames`)."""
+    B = len(samples)
+    T = samples[0]["images"].shape[0]
+    centers = np.array([int(s["center_pos"]) for s in samples], np.int32)
+    out = {}
+    for k in samples[0]:
+        if k in ("imgname", "center_pos"):
+            continue
+        stacked = np.stack([s[k] for s in samples], 0)  # (B, T, ...)
+        if k == "images" or split_window:
+            out[k] = stacked.reshape((-1,) + stacked.shape[2:])
+        else:
+            out[k] = stacked[np.arange(B), centers]
+    if not split_window:
+        out["center_index"] = np.arange(B, dtype=np.int32) * T + centers
+    return out
+
+
 def collate_windows(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """(B windows, T, ...) -> flatten to (B*T, ...) leading axis."""
     out = {}

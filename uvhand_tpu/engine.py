@@ -30,17 +30,39 @@ from .losses.criterion import arctic_criterion, select_queries
 from .utils.logging import MetricLogger
 
 
+def select_output_frames(outputs, idx):
+    """Gather batch rows `idx` from a model output pytree. Used by temporal
+    center-frame training (`split_window=False`, tempo_dataset.py:97-103):
+    the model runs on all B*T window frames, the criterion on the B center
+    frames only."""
+    out = dict(outputs)
+    out["stacked"] = {
+        k: (v[:, idx] if v is not None else None)
+        for k, v in outputs["stacked"].items()
+    }
+    if outputs.get("interm_outputs") is not None:
+        out["interm_outputs"] = {
+            k: (v[idx] if v is not None else None)
+            for k, v in outputs["interm_outputs"].items()
+        }
+    return out
+
+
 def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
                           weights=None, two_stage=True):
     """Raw batch -> GT preprocess -> fwd -> criterion -> update, one program."""
 
     def loss_fn(params, batch, rng):
+        batch = dict(batch)
+        center_index = batch.pop("center_index", None)
         targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
         targets = jax.lax.stop_gradient(targets)
         outputs = model.apply(
             {"params": params}, batch["images"], train=True,
             rngs={"dropout": rng, "feature_mask": jax.random.fold_in(rng, 1)},
         )
+        if center_index is not None:
+            outputs = select_output_frames(outputs, center_index)
         return arctic_criterion(
             outputs, targets, mano_r, mano_l, obj_bank,
             img_res=img_res, weights=weights, two_stage=two_stage,
