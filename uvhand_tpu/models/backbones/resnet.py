@@ -18,7 +18,10 @@ from flax import linen as nn
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm with frozen statistics and affine params (backbone.py:27)."""
+    """BatchNorm with frozen statistics and affine params (backbone.py:27).
+
+    Params stay fp32; the affine is applied in the activation dtype so a bf16
+    compute path keeps bf16 activations end to end (no fp32 round trips)."""
 
     features: int
     eps: float = 1e-5
@@ -33,30 +36,33 @@ class FrozenBatchNorm(nn.Module):
         # (and optionally scale/bias) from the optimizer, like the reference
         # freezes BN entirely.
         inv = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        return x * inv + (bias - mean * inv)
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv2"
+            self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
         )(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(
-                self.planes * 4, (1, 1), strides=self.stride, use_bias=False, name="down_conv"
+                self.planes * 4, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype, name="down_conv",
             )(x)
             identity = FrozenBatchNorm(self.planes * 4, name="down_bn")(identity)
         return nn.relu(out + identity)
@@ -67,10 +73,13 @@ class ResNet50(nn.Module):
 
     blocks: Sequence[int] = (3, 4, 6, 3)
     return_interm_layers: bool = True
+    dtype: 'jnp.dtype' = jnp.float32  # conv compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, 3)
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -81,7 +90,8 @@ class ResNet50(nn.Module):
             for bi in range(n_blocks):
                 stride = 2 if (bi == 0 and li > 0) else 1
                 x = Bottleneck(
-                    p, stride=stride, downsample=(bi == 0), name=f"layer{li + 1}_{bi}"
+                    p, stride=stride, downsample=(bi == 0), dtype=self.dtype,
+                    name=f"layer{li + 1}_{bi}",
                 )(x)
             if li >= 1:
                 outs.append(x)

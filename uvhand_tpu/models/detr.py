@@ -80,7 +80,7 @@ class UVHandDETR(nn.Module):
     def setup(self):
         if self.feature_type == "origin":
             if self.backbone == "resnet50":
-                self.backbone_net = ResNet50(name="backbone")
+                self.backbone_net = ResNet50(dtype=self.compute_dtype, name="backbone")
                 self.backbone_channels = RESNET50_CHANNELS
             elif self.backbone == "swin_L_384_22k":
                 from .backbones.swin import SwinTransformer, SWIN_L_CHANNELS

@@ -40,6 +40,7 @@ native path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -49,7 +50,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG_ALIGN = 128  # per-level segment padding: lane alignment for W / dots
-Q_TILE = 128
+# query-tile sublanes: 256 measured best on v5e (128: 14.7 ms/enc-layer
+# fwd+bwd, 256: 14.0, 512: VMEM OOM at 26.9M scoped)
+Q_TILE = int(os.environ.get("UVHAND_MSDA_QTILE", 256))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -143,17 +146,22 @@ def _bwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
             aw = aw_ref[0, :, k : k + 1]
             dy = py - sy
             dx = px - sx
-            wy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
-            wx = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
-            hat = wy * wx
-            daw_cols.append(jnp.sum(hat * G, axis=1, keepdims=True))
-            term = aw * hat
+            ady = jnp.abs(dy)
+            adx = jnp.abs(dx)
+            wy = jnp.maximum(1.0 - ady, 0.0)
+            wx = jnp.maximum(1.0 - adx, 0.0)
+            wxG = wx * G
+            wyG = wy * G
+            daw_cols.append(jnp.sum(wy * wxG, axis=1, keepdims=True))
+            term = aw * (wy * wx)
             wsum = term if wsum is None else wsum + term
-            # d(hat)/dpy = wx * dwy, with dwy = -sign(dy) on the open support
-            dwy = jnp.where(wy > 0, -jnp.sign(dy), 0.0)
-            dwx = jnp.where(wx > 0, -jnp.sign(dx), 0.0)
-            dpy_cols.append(jnp.sum((aw * dwy) * wx * G, axis=1, keepdims=True))
-            dpx_cols.append(jnp.sum((aw * dwx) * wy * G, axis=1, keepdims=True))
+            # d(hat)/dpy = wx * dwy, dwy = -sign(dy) on the open support; the
+            # attn scale multiplies the reduced (Qt, 1) column, not the
+            # (Qt, seg) plane
+            ty = jnp.where(ady < 1.0, jnp.sign(dy), 0.0) * wxG
+            tx = jnp.where(adx < 1.0, jnp.sign(dx), 0.0) * wyG
+            dpy_cols.append(-aw * jnp.sum(ty, axis=1, keepdims=True))
+            dpx_cols.append(-aw * jnp.sum(tx, axis=1, keepdims=True))
         # dV_l = W^T @ g, accumulated across query tiles
         dvl = jax.lax.dot_general(
             wsum.astype(vdt), g, (((0,), (0,)), ((), ())),
