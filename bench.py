@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 140.0  # frames/s per A100, train step (see docstring)
-BATCH = 16
+BATCH = int(__import__("os").environ.get("UVHAND_BENCH_BATCH", 16))
 SCAN_STEPS = 20
 
 

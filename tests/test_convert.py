@@ -170,6 +170,36 @@ def test_mha_numerics_match_torch(rng_module):
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-4, atol=2e-5)
 
 
+def test_resume_from_pth_file(converted, rng_module, tmp_path):
+    """--resume path.pth: torch.save'd {'model': sd} loads onto a TrainState
+    with not_use_params filtering."""
+    import torch
+
+    from uvhand_tpu.train.checkpoint import load_torch_pth
+    from uvhand_tpu.train.state import create_train_state
+
+    sd, _ = converted
+    p = str(tmp_path / "checkpoint.pth")
+    torch.save({"model": {k: torch.as_tensor(v) for k, v in sd.items()}, "epoch": 3}, p)
+
+    model = UVHandDETR(num_encoder_layers=ENC, num_decoder_layers=DEC)
+    init = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 224, 224, 3)))
+    state = create_train_state(model, init, lr=1e-4)
+    state2 = load_torch_pth(
+        p, state, not_use_params=["cls_head"],
+        num_decoder_layers=DEC, num_encoder_layers=ENC, two_stage=True,
+    )
+    # filtered params keep fresh init; others match the torch values
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["transformer"]["cls_head0"]["kernel"]),
+        np.asarray(state.params["transformer"]["cls_head0"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["mano_pose_head"]["kernel"]),
+        sd["mano_pose_embed.0.weight"].T,
+    )
+
+
 def test_converted_forward_runs(converted):
     _, params = converted
     model = UVHandDETR(num_encoder_layers=ENC, num_decoder_layers=DEC)

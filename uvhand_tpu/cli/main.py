@@ -236,8 +236,20 @@ def main(args):
         schedule=sched, sgd=args.sgd,
     )
 
+    def load_resume(st):
+        if args.resume.endswith(".pth"):
+            # reference torch checkpoint: convert the state dict in place
+            return ckpt.load_torch_pth(
+                args.resume, st, args.not_use_params,
+                num_decoder_layers=args.dec_layers,
+                num_encoder_layers=args.enc_layers, n_heads=args.nheads,
+                two_stage=args.two_stage,
+                num_feature_levels=args.num_feature_levels,
+            )
+        return ckpt.load_checkpoint(args.resume, st, args.not_use_params)
+
     if args.resume:
-        state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
+        state = load_resume(state)
         print(f"resumed from {args.resume}")
 
     mesh = mesh_lib.make_mesh()
@@ -265,8 +277,6 @@ def main(args):
     if args.extraction_mode:
         from .extract_predicts import run_extraction
 
-        if args.resume:
-            state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
         out = run_extraction(
             model, {"params": state.params}, ds_val, args.val_batch_size,
             os.path.join(args.output_dir, "submission"), float(args.img_res),
@@ -280,8 +290,6 @@ def main(args):
         from ..train import smoothnet_driver as sd
         from ..losses.criterion import select_queries
 
-        if args.resume:
-            state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
         wds = WindowDataset(ds_train, args.window_size)
         dlw = DataLoader(wds, max(args.batch_size // args.window_size, 1),
                          seed=args.seed, collate_fn=collate_windows)

@@ -77,6 +77,27 @@ def load_checkpoint(
     return state
 
 
+def load_torch_pth(path: str, state, not_use_params: Optional[Sequence[str]] = None,
+                   **convert_kwargs):
+    """Resume from a reference `.pth` checkpoint: convert the torch state
+    dict onto the flax tree (train/convert.py); optimizer state stays fresh.
+    Applies the same `not_use_params` keyword filter as `load_checkpoint`
+    (`util/settings.py:447-515`)."""
+    import jax.numpy as jnp
+
+    from .convert import load_torch_checkpoint
+
+    converted = load_torch_checkpoint(path, **convert_kwargs)["params"]
+    params = jax.tree.map(jnp.asarray, converted)
+    if not_use_params:
+        def select(p, new, old):
+            s = _path_str(p)
+            return old if any(kw in s for kw in not_use_params) else new
+
+        params = jax.tree_util.tree_map_with_path(select, params, state.params)
+    return state.replace(params=params)
+
+
 def list_checkpoints(resume_dir: str):
     """All epoch checkpoints in a dir, sorted (reference --resume_dir sweep)."""
     out = []
