@@ -24,6 +24,10 @@ import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 140.0  # frames/s per A100, train step (see docstring)
 BATCH = int(__import__("os").environ.get("UVHAND_BENCH_BATCH", 16))
+# bf16 is the TPU-native default; UVHAND_BENCH_DTYPE=float32 measures the
+# reference-parity mode (force-fp32 MSDA value path) — both are recorded in
+# PERF.md per round
+DTYPE = __import__("os").environ.get("UVHAND_BENCH_DTYPE", "bfloat16")
 SCAN_STEPS = 20
 
 
@@ -44,7 +48,7 @@ def main():
     from uvhand_tpu.train.state import create_train_state
     from __graft_entry__ import _tiny_targets
 
-    model = UVHandDETR(compute_dtype=jnp.bfloat16)  # full arctic_sf config (bf16 transformer compute)
+    model = UVHandDETR(compute_dtype=jnp.dtype(DTYPE))  # full arctic_sf config
     imgs = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, 224, 224, 3)), jnp.float32
     )

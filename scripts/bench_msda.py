@@ -19,6 +19,11 @@ def main():
     ap.add_argument("--lq", type=int, default=1045)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--mode", default="both", choices=["fwd", "grad", "both"])
+    ap.add_argument("--local", action="store_true",
+                    help="encoder-realistic sampling locs: per-query grid "
+                         "reference points + small offsets (exercises the "
+                         "chunked kernel's locality skip); default is "
+                         "uniform-random locs (worst case, no skip)")
     args = ap.parse_args()
 
     from uvhand_tpu.utils.cache import enable_compilation_cache
@@ -37,7 +42,18 @@ def main():
 
     rng = np.random.default_rng(0)
     value = jnp.asarray(rng.standard_normal((B, S, M, D)), dt)
-    loc = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P, 2)), jnp.float32)
+    if args.local and Lq == S:
+        # encoder layout: query q at level l / cell (r, c) has normalized
+        # reference (c+.5)/W, (r+.5)/H; offsets ~ a few cells (trained scale)
+        refs = []
+        for h, w in shapes:
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            refs.append(np.stack([(cc.ravel() + 0.5) / w, (rr.ravel() + 0.5) / h], -1))
+        refs = np.concatenate(refs)  # (S, 2)
+        off = rng.normal(scale=0.03, size=(B, Lq, M, L, P, 2))
+        loc = jnp.asarray(refs[None, :, None, None, None, :] + off, jnp.float32)
+    else:
+        loc = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P, 2)), jnp.float32)
     attn = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), dt)
     attn = attn / attn.reshape(B, Lq, M, -1).sum(-1).reshape(B, Lq, M, 1, 1)
 

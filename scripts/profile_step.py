@@ -81,7 +81,8 @@ def report(logdir, top=40):
     table = json.loads(data)
     cols = [c["label"] for c in table["cols"]]
     rows = [[c["v"] if c else None for c in r["c"]] for r in table["rows"]]
-    i_name = cols.index("HLO Op Name") if "HLO Op Name" in cols else None
+    i_name = cols.index("HLO op name") if "HLO op name" in cols else None
+    i_text = cols.index("HLO op text") if "HLO op text" in cols else None
     print("columns:", cols)
     i_self = [i for i, c in enumerate(cols) if "self" in c.lower() and "time" in c.lower()]
     i_cat = [i for i, c in enumerate(cols) if "category" in c.lower()]
@@ -100,8 +101,9 @@ def report(logdir, top=40):
     print("\n-- top ops --")
     for r in rows[:top]:
         nm = r[i_name] if i_name is not None else r[0]
+        tx = (r[i_text] or "") if i_text is not None else ""
         cat = r[i_cat[0]] if i_cat else ""
-        print(f"{(r[key] or 0)/total*100:5.1f}%  {r[key] or 0:10.0f}  {cat:24s} {str(nm)[:90]}")
+        print(f"{(r[key] or 0)/total*100:5.1f}%  {r[key] or 0:10.0f}  {cat:20s} {str(nm)[:46]} {str(tx)[:60]}")
 
 
 if __name__ == "__main__":

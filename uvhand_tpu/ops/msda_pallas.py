@@ -3,10 +3,8 @@
 The reference implements MSDA as CUDA scatter/gather kernels
 (`/root/reference/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238` forward +
 6 col2im backward variants). Round 1's XLA formulation (ops/msda.py) is
-correct but HBM-bound: the gathered (B,Lq,M,LP,4D) footprint and the expanded
-weights are ~1 GB of traffic per encoder layer. Round 1's direct translation
-attempt (an in-kernel `take_along_axis`) also crashes this toolchain's Mosaic
-compiler (`tpu.dynamic_gather`, PERF.md).
+correct but HBM-bound, and a direct in-kernel `take_along_axis` crashes this
+toolchain's Mosaic compiler (`tpu.dynamic_gather`, PERF.md).
 
 This kernel sidesteps gathers entirely. grid_sample's bilinear-with-zeros is
 an inner product against a *dense* weight row that is almost all zeros:
@@ -17,19 +15,26 @@ an inner product against a *dense* weight row that is almost all zeros:
 
 where (sy, sx) are each cell's integer pixel coordinates. The relu-hat is
 exactly grid_sample's bilinear weight INCLUDING zero padding (out-of-range
-corners get weight 0 automatically — no clamping, no masks). So per
-(batch*head, query-tile): build W in VMEM with pure VPU ops (no indexing at
-all), then contract with the level's value slab on the MXU. Per-level
-blocking keeps the build cost at Lq * P * S total hat evaluations.
+corners get weight 0 automatically — no clamping, no masks). Per
+(batch*head, query-tile): build W in VMEM with pure VPU ops, contract with
+the value slab on the MXU. Value is read once (~17 MB vs ~1 GB of gather
+traffic); W never touches HBM.
 
-Everything stays on-chip: value is read once (~17 MB vs ~1 GB of gather
-traffic), W never touches HBM. The backward recomputes W (recompute-style
-VJP, like the XLA path) and produces:
-    dV   = W^T @ g                      (MXU, accumulated across query tiles)
-    G    = g @ V^T                      (MXU)
+The per-level W planes are built DENSE over the full (lane-padded) level
+segment. A chunked variant (128-lane K-chunks with an exact `pl.when`
+locality skip on the tent's support band) was measured SLOWER — 7.4-9.7 ms
+vs 4 ms per encoder-layer forward — chunk-loop/branch overhead and 11 small
+dots lose more than the ~45% skipped hat work saves (PERF.md round-2
+matrix). Straight-line dense code is the fast shape on this hardware.
+
+The backward recomputes W per level (recompute-style VJP) and produces
+    dV   = W^T @ g          (MXU, accumulated across query tiles)
+    G    = g @ V^T          (MXU, per level)
     dattn[q,p] = sum_s hat_p[q,s] G[q,s]
-    dpx/dpy    = attn * sum_s dhat * G  (VPU row reductions)
+    dpx/dpy    = attn * sum_s dhat * G   (VPU row reductions)
 — no scatters anywhere, matching the CUDA backward's role with TPU idioms.
+The forward's layout prep (transposes/pads) is passed through as VJP
+residuals so the backward never re-runs it.
 
 Numerical contract: `ms_deform_attn_core_pytorch`
 (`/root/reference/models/ops/functions/ms_deform_attn_func.py:42-62`).
@@ -50,9 +55,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG_ALIGN = 128  # per-level segment padding: lane alignment for W / dots
-# query-tile sublanes: 256 measured best on v5e (128: 14.7 ms/enc-layer
-# fwd+bwd, 256: 14.0, 512: VMEM OOM at 26.9M scoped)
-Q_TILE = int(os.environ.get("UVHAND_MSDA_QTILE", 256))
+# query-tile sublanes: one tile covering the whole encoder (1048) measured
+# best — fewer grid blocks; needs the raised VMEM limit below
+Q_TILE = int(os.environ.get("UVHAND_MSDA_QTILE", 1048))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -88,6 +93,10 @@ def _precision(dtype):
     )
 
 
+# big query tiles need more scoped VMEM than the 16M default (v5e has 128M)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -95,10 +104,10 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------- kernels
 
 
-def _fwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
-                v_ref, out_ref):
-    acc = None
-    for l, (off, seg) in enumerate(levels):
+def _fwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
+                v_ref, out_ref, acc_ref):
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    for l, (off, seg) in enumerate(plan):
         sy = sy_ref[:, off : off + seg]  # (1, seg)
         sx = sx_ref[:, off : off + seg]
         w = None
@@ -110,26 +119,28 @@ def _fwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
             hat = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0) * jnp.maximum(
                 1.0 - jnp.abs(px - sx), 0.0
             )  # (Qt, seg)
-            term = (aw * hat)
+            term = aw * hat
             w = term if w is None else w + term
         v_l = v_ref[0, off : off + seg, :]  # (seg, D)
-        d = jnp.dot(
+        acc_ref[...] += jnp.dot(
             w.astype(vdt), v_l, preferred_element_type=jnp.float32,
             precision=prec,
         )
-        acc = d if acc is None else acc + d
-    out_ref[0] = acc.astype(out_ref.dtype)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _bwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
+def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
                 v_ref, g_ref, dv_ref, dpy_ref, dpx_ref, daw_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
+    def red(x):
+        return jnp.sum(x, axis=1, keepdims=True)
+
     g = g_ref[0]  # (Qt, D)
     dpy_cols, dpx_cols, daw_cols = [], [], []
-    for l, (off, seg) in enumerate(levels):
+    for l, (off, seg) in enumerate(plan):
         sy = sy_ref[:, off : off + seg]
         sx = sx_ref[:, off : off + seg]
         v_l = v_ref[0, off : off + seg, :]
@@ -152,16 +163,15 @@ def _bwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
             wx = jnp.maximum(1.0 - adx, 0.0)
             wxG = wx * G
             wyG = wy * G
-            daw_cols.append(jnp.sum(wy * wxG, axis=1, keepdims=True))
+            daw_cols.append(red(wy * wxG))
             term = aw * (wy * wx)
             wsum = term if wsum is None else wsum + term
             # d(hat)/dpy = wx * dwy, dwy = -sign(dy) on the open support; the
-            # attn scale multiplies the reduced (Qt, 1) column, not the
-            # (Qt, seg) plane
+            # attn scale multiplies the reduced (Qt, 1) column
             ty = jnp.where(ady < 1.0, jnp.sign(dy), 0.0) * wxG
             tx = jnp.where(adx < 1.0, jnp.sign(dx), 0.0) * wyG
-            dpy_cols.append(-aw * jnp.sum(ty, axis=1, keepdims=True))
-            dpx_cols.append(-aw * jnp.sum(tx, axis=1, keepdims=True))
+            dpy_cols.append(-aw * red(ty))
+            dpx_cols.append(-aw * red(tx))
         # dV_l = W^T @ g, accumulated across query tiles
         dvl = jax.lax.dot_general(
             wsum.astype(vdt), g, (((0,), (0,)), ((), ())),
@@ -177,7 +187,8 @@ def _bwd_kernel(levels, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
 
 
 def _layouts(spatial_shapes, value, loc, attn):
-    """XLA-side layout prep shared by fwd and bwd."""
+    """XLA-side layout prep (transposes/pads); shared fwd path, passed to
+    the backward as residuals so it is never recomputed."""
     B, S, M, D = value.shape
     Lq, P = loc.shape[1], loc.shape[4]
     L = len(spatial_shapes)
@@ -205,15 +216,7 @@ def _layouts(spatial_shapes, value, loc, attn):
         parts.append(jnp.pad(part, ((0, 0), (0, sg - sz), (0, 0))))
         cur += sz
     vp = jnp.concatenate(parts, axis=1)  # (B*M, S_pad, D)
-
-    sy_np, sx_np = _grid_maps(spatial_shapes)
-    return dict(
-        B=B, S=S, M=M, D=D, Lq=Lq, P=P, L=L, sizes=sizes, seg=seg, offs=offs,
-        S_pad=S_pad, Qt=Qt, Lq_pad=Lq_pad, Hs=Hs, Ws=Ws,
-        pxb=pxb, pyb=pyb, awb=awb, vp=vp,
-        sy=jnp.asarray(sy_np), sx=jnp.asarray(sx_np),
-        levels=tuple(zip(offs, seg)),
-    )
+    return pyb, pxb, awb, vp
 
 
 def _q_spec(Qt, LP):
@@ -228,50 +231,69 @@ def _v_spec(S_pad, D):
     return pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _msda_pallas(spatial_shapes, value, loc, attn):
-    ly = _layouts(spatial_shapes, value, loc, attn)
-    B, M, D, Lq, Qt = ly["B"], ly["M"], ly["D"], ly["Lq"], ly["Qt"]
-    LP = ly["L"] * ly["P"]
+def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
+    B, S, M, D, Lq, P = dims
+    L = len(spatial_shapes)
+    LP = L * P
+    _, _, _, S_pad = _level_plan(spatial_shapes)
+    Lq_pad = pyb.shape[1]
+    Qt = min(Q_TILE, _round_up(Lq, 8))
+    sy_np, sx_np = _grid_maps(spatial_shapes)
+    _, seg, offs, _ = _level_plan(spatial_shapes)
     kernel = functools.partial(
-        _fwd_kernel, ly["levels"], ly["P"], _precision(value.dtype), value.dtype
+        _fwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype),
+        vp.dtype,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B * M, ly["Lq_pad"] // Qt),
+        grid=(B * M, Lq_pad // Qt),
         in_specs=[
             _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
-            _const_spec(ly["S_pad"]), _const_spec(ly["S_pad"]),
-            _v_spec(ly["S_pad"], D),
+            _const_spec(S_pad), _const_spec(S_pad),
+            _v_spec(S_pad, D),
         ],
         out_specs=pl.BlockSpec(
             (1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B * M, ly["Lq_pad"], D), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Qt, D), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(ly["pyb"], ly["pxb"], ly["awb"], ly["sy"], ly["sx"], ly["vp"])
+    )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp)
     out = out[:, :Lq].reshape(B, M, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
-def _msda_pallas_fwd(spatial_shapes, value, loc, attn):
-    return _msda_pallas(spatial_shapes, value, loc, attn), (value, loc, attn)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _msda_pallas(spatial_shapes, dims, value, loc, attn):
+    pyb, pxb, awb, vp = _layouts(spatial_shapes, value, loc, attn)
+    return _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, value.dtype)
 
 
-def _msda_pallas_bwd(spatial_shapes, res, g):
-    value, loc, attn = res
-    ly = _layouts(spatial_shapes, value, loc, attn)
-    B, S, M, D = value.shape
-    Lq, P, L, Qt = ly["Lq"], ly["P"], ly["L"], ly["Qt"]
+def _msda_pallas_fwd(spatial_shapes, dims, value, loc, attn):
+    pyb, pxb, awb, vp = _layouts(spatial_shapes, value, loc, attn)
+    out = _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, value.dtype)
+    marks = (jnp.zeros((0,), loc.dtype), jnp.zeros((0,), attn.dtype))
+    return out, (pyb, pxb, awb, vp, marks)
+
+
+def _msda_pallas_bwd(spatial_shapes, dims, res, g):
+    pyb, pxb, awb, vp, (loc_mark, attn_mark) = res
+    B, S, M, D, Lq, P = dims
+    L = len(spatial_shapes)
     LP = L * P
-    S_pad, Lq_pad = ly["S_pad"], ly["Lq_pad"]
+    sizes, seg, offs, S_pad = _level_plan(spatial_shapes)
+    Lq_pad = pyb.shape[1]
+    Qt = min(Q_TILE, _round_up(Lq, 8))
 
-    gb = g.reshape(B, Lq, M, D).astype(value.dtype)
+    gb = g.reshape(B, Lq, M, D).astype(vp.dtype)
     gb = jnp.transpose(gb, (0, 2, 1, 3)).reshape(B * M, Lq, D)
     gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
 
+    sy_np, sx_np = _grid_maps(spatial_shapes)
     kernel = functools.partial(
-        _bwd_kernel, ly["levels"], P, _precision(value.dtype), value.dtype
+        _bwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype),
+        vp.dtype,
     )
     dv, dpy, dpx, daw = pl.pallas_call(
         kernel,
@@ -292,25 +314,28 @@ def _msda_pallas_bwd(spatial_shapes, res, g):
             jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
             jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(ly["pyb"], ly["pxb"], ly["awb"], ly["sy"], ly["sx"], ly["vp"], gb)
+    )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp, gb)
 
     # dvalue: unpad level segments, restore (B, S, M, D)
-    parts, cur = [], 0
-    for sz, (off, sg) in zip(ly["sizes"], ly["levels"]):
+    parts = []
+    for sz, off in zip(sizes, offs):
         parts.append(jax.lax.slice_in_dim(dv, off, off + sz, axis=1))
     dvs = jnp.concatenate(parts, axis=1).reshape(B, M, S, D)
-    dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(value.dtype)
+    dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(vp.dtype)
 
     def from_bm(x):  # (B*M, Lq_pad, LP) -> (B, Lq, M, L, P)
         x = x[:, :Lq].reshape(B, M, Lq, L, P)
         return jnp.transpose(x, (0, 2, 1, 3, 4))
 
+    Hs = jnp.asarray([h for h, w in spatial_shapes], jnp.float32).reshape(1, 1, 1, L, 1)
+    Ws = jnp.asarray([w for h, w in spatial_shapes], jnp.float32).reshape(1, 1, 1, L, 1)
     # chain rule through px = loc_x * W_l - 0.5 (and py / H_l)
     dloc = jnp.stack(
-        [from_bm(dpx) * ly["Ws"], from_bm(dpy) * ly["Hs"]], axis=-1
-    ).astype(loc.dtype)
-    dattn = from_bm(daw).astype(attn.dtype)
+        [from_bm(dpx) * Ws, from_bm(dpy) * Hs], axis=-1
+    ).astype(loc_mark.dtype)
+    dattn = from_bm(daw).astype(attn_mark.dtype)
     return dvalue, dloc, dattn
 
 
@@ -318,9 +343,12 @@ _msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
 
 
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights):
-    """MSDA with the Pallas dense hat-product kernel. Same contract as
+    """MSDA with the Pallas chunked hat-product kernel. Same contract as
     `ops.msda.ms_deform_attn` (see that module's docstring for shapes)."""
+    B, S, M, D = value.shape
+    Lq, P = sampling_locations.shape[1], sampling_locations.shape[4]
     return _msda_pallas(
-        tuple(tuple(s) for s in spatial_shapes),
+        tuple(tuple(int(x) for x in s) for s in spatial_shapes),
+        (B, S, M, D, Lq, P),
         value, sampling_locations, attention_weights,
     )
