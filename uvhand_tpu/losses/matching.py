@@ -29,57 +29,40 @@ def hungarian_small(cost: jnp.ndarray, target_valid: jnp.ndarray) -> jnp.ndarray
     Returns assign: (T,) int32 — the query assigned to each target, -1 if the
     target is invalid.
 
-    DP over queries with state = subset of targets already assigned. Exact
-    because each query can serve at most one target and query order is
-    irrelevant. Backtracks via stored per-(query, state) choices.
+    Fully vectorized exact search (no sequential loops — the previous
+    Q-step DP scan cost ~2.3 ms/step in serial `while`s on v5e): in an
+    optimal assignment, target t's query must be among the T cheapest
+    queries of column t (at most T-1 queries can be occupied by the other
+    targets, so a cheaper in-top-T query would otherwise be free to swap
+    to). So: top-T candidates per column, enumerate all T^T combinations,
+    mask colliding picks, take the argmin. T=3 → a 27-row reduction.
     """
     Q, T = cost.shape
-    n_states = 1 << T
     # invalid targets cost 0 everywhere: they absorb an arbitrary spare query
     # without influencing the optimum for the valid ones.
     cost = jnp.where(target_valid[None, :], cost, 0.0)
 
-    states = np.arange(n_states)
-    # targets contained in each state
-    contains = (states[:, None] >> np.arange(T)) & 1  # (S, T) 0/1
-    prev_state = states[:, None] & ~(1 << np.arange(T))  # (S, T)
+    negc, cand_q = jax.lax.top_k(-cost.T, min(T, Q))  # (T, T) per-column best
+    cand_c = -negc
 
-    contains = jnp.asarray(contains, bool)
-    prev_state = jnp.asarray(prev_state, jnp.int32)
+    combos = np.stack(
+        np.meshgrid(*([np.arange(min(T, Q))] * T), indexing="ij"), -1
+    ).reshape(-1, T)  # (T^T, T): which candidate each target picks
+    combos = jnp.asarray(combos, jnp.int32)
+    t_idx = jnp.arange(T)[None, :]
+    qs = cand_q[t_idx, combos]  # (C, T) chosen query per target
+    cc = cand_c[t_idx, combos]
 
-    def scan_fn(dp, q):
-        # dp: (S,) best cost using queries < q
-        cand = dp[prev_state] + cost[q][None, :]  # (S, T) assign target t to q
-        cand = jnp.where(contains, cand, BIG)
-        best_t = jnp.argmin(cand, axis=1)  # (S,)
-        best_c = jnp.take_along_axis(cand, best_t[:, None], axis=1)[:, 0]
-        new_dp = jnp.minimum(dp, best_c)
-        used = best_c < dp  # whether query q is used for state S
-        choice = jnp.where(used, best_t, -1).astype(jnp.int8)
-        return new_dp, choice
-
-    dp0 = jnp.full((n_states,), BIG, jnp.float32).at[0].set(0.0)
-    _, choices = jax.lax.scan(scan_fn, dp0, jnp.arange(Q))  # choices: (Q, S)
-
-    # backtrack from the full state through queries in reverse
-    full = n_states - 1
-
-    def back_fn(carry, q):
-        state, assign = carry
-        t = choices[q, state]
-        used = t >= 0
-        assign = jnp.where(
-            used, assign.at[jnp.maximum(t, 0).astype(jnp.int32)].set(q), assign
-        )
-        state = jnp.where(
-            used, state & ~(1 << jnp.maximum(t, 0).astype(jnp.int32)), state
-        )
-        return (state, assign), None
-
-    init = (jnp.int32(full), jnp.full((T,), -1, jnp.int32))
-    (state, assign), _ = jax.lax.scan(
-        back_fn, init, jnp.arange(Q - 1, -1, -1)
-    )
+    valid = target_valid[None, :]
+    total = jnp.sum(jnp.where(valid, cc, 0.0), axis=1)
+    clash = jnp.zeros(total.shape, bool)
+    for i in range(T):
+        for j in range(i + 1, T):
+            clash = clash | (
+                (qs[:, i] == qs[:, j]) & target_valid[i] & target_valid[j]
+            )
+    total = jnp.where(clash, BIG, total)
+    assign = qs[jnp.argmin(total)]
     return jnp.where(target_valid, assign, -1)
 
 
