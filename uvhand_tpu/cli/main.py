@@ -23,6 +23,16 @@ def get_args_parser():
     # general (settings.py:17-67)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--val_batch_size", default=4, type=int)
+    p.add_argument("--eval_metrics", nargs="+",
+                   default=["aae", "mpjpe.ra", "mrrpe", "success_rate",
+                            "cdev", "mdev", "acc_err_pose"],
+                   help="evaluation metrics to report (settings.py:29-30)")
+    p.add_argument("--test_viewpoint", default=None, type=str,
+                   help="evaluate one sid/seq/view only (settings.py:33-35)")
+    p.add_argument("--seq", default=None, type=str,
+                   help="single-sequence filter (settings.py:56)")
+    p.add_argument("--iter", default=0, type=int,
+                   help="eval-time frame-smoothing passes (settings.py:61)")
     p.add_argument("--full_validation", action="store_true")
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--resume_dir", default="", type=str)
@@ -142,6 +152,9 @@ def build_model(args):
     use_dn = args.modelname == "dino"
     return UVHandDETR(
         use_dn=use_dn,
+        # DINO's decoder defaults to look-forward-twice
+        # (use_detached_boxes_dec_out=False, deformable_transformer.py:810)
+        look_forward_twice=use_dn,
         dn_number=getattr(args, "dn_number", 100),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         num_queries=args.num_queries,
@@ -175,15 +188,20 @@ def main(args):
 
     enable_compilation_cache()
     import jax
-    # rbg PRNG: threefry bit-gen for dropout/feature-mask costs ~50% of a
-    # train step on v5e (measured 1175->582 ms); rbg is the TPU-native choice
-    jax.config.update("jax_default_prng_impl", "rbg")
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "running_cmd.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)  # save_cmd equivalent
 
     np.random.seed(args.seed)
-    rng = jax.random.PRNGKey(args.seed)
+    # rbg PRNG: threefry bit-gen for dropout/feature-mask costs ~50% of a
+    # train step on v5e (measured 1175->582 ms). A typed rbg key keeps the
+    # choice local — mutating jax_default_prng_impl globally would leak into
+    # any later jax use in the same process (it broke test hermeticity).
+    rng = jax.random.key(args.seed, impl="rbg")
+
+    if args.dataset_file in ("AssemblyHands", "H2O", "FPHA"):
+        # COCO-format 2.5D path (reference datasets/coco.py build dispatch)
+        return run_coco(args, rng)
 
     mano_r, mano_l, bank = build_world(args)
     model = build_model(args)
@@ -198,7 +216,8 @@ def main(args):
     ds_val = arctic_data.ArcticDataset(
         root, args.setup, args.valsplit, img_res=args.img_res,
         focal_length=args.focal_length, kp3d_cano=kp3d_cano,
-        two_stage=args.two_stage,
+        two_stage=args.two_stage, seq=args.seq,
+        viewpoint=args.test_viewpoint,
     )
     if args.method == "arctic_lstm" and not args.eval and not args.train_smoothnet:
         # temporal training: per-frame-centered windows (TempoDataset,
@@ -259,7 +278,10 @@ def main(args):
         model, mano_r, mano_l, bank, img_res=float(args.img_res),
         two_stage=args.two_stage,
     )
-    eval_step = engine.make_eval_step(model, mano_r, mano_l, bank, float(args.img_res))
+    eval_step = engine.make_eval_step(
+        model, mano_r, mano_l, bank, float(args.img_res),
+        metrics=tuple(args.eval_metrics), smooth_iter=args.iter,
+    )
 
     max_steps = args.num_debug if args.debug else None
 
@@ -331,7 +353,9 @@ def main(args):
             print(json.dumps(scores, indent=2))
             from ..utils.logging import save_results
 
-            save_results(args.output_dir, -1, score_dict=scores)
+            hdr = (f"{args.test_viewpoint} " if args.test_viewpoint else "") + \
+                f"{args.val_batch_size}*{args.window_size}, {args.iter}iter"
+            save_results(args.output_dir, -1, score_dict=scores, header=hdr)
         return
 
     for epoch in range(args.start_epoch, args.epochs):
@@ -348,6 +372,106 @@ def main(args):
         save_results(args.output_dir, epoch, loss_dict=stats, score_dict=scores)
         print(f"epoch {epoch}: {time.time()-t0:.1f}s train_loss={stats.get('loss'):.4f} "
               + json.dumps(scores))
+
+
+def run_coco(args, rng):
+    """AssemblyHands / H2O / FPHA training + eval over the COCO-format
+    pipeline (reference `datasets/coco.py:273-302` build + `engine.py`
+    eval_coco): 2.5D uvd keypoints, ColorJitter/RandomRotation(45) train
+    augmentation, Hungarian-matched focal+L1 criterion."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.coco_hands import CocoHandsDataset
+    from ..data.loader import DataLoader
+    from ..evaluation.coco_eval import assembly_keypoint_metrics
+    from ..models.assembly import assembly_criterion
+    from ..train import checkpoint as ckpt
+    from ..train.state import create_train_state
+
+    model = build_model(args)
+    root = os.path.join(args.coco_path, args.dataset_file)
+    ds_train = CocoHandsDataset(root, args.trainsplit, img_res=args.img_res,
+                                aug=True, seed=args.seed)
+    ds_val = CocoHandsDataset(root, args.valsplit, img_res=args.img_res)
+
+    def collate(samples):
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed,
+                          collate_fn=collate)
+    dl_val = DataLoader(ds_val, args.val_batch_size, shuffle=False,
+                        drop_last=False, collate_fn=collate)
+
+    imgs = jnp.zeros((1, args.img_res, args.img_res, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": rng}, imgs)
+    state = create_train_state(model, params, lr=args.lr,
+                               weight_decay=args.weight_decay,
+                               clip_max_norm=args.clip_max_norm)
+    if args.resume:
+        state = ckpt.load_checkpoint(args.resume, state, args.not_use_params)
+
+    @jax.jit
+    def train_step(st, batch, step_rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch["images"], train=True,
+                              rngs={"dropout": step_rng})
+            return assembly_criterion(
+                out, batch["labels"], batch["keypoints63"],
+                batch["target_valid"])
+
+        (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+        return st.apply_gradients(grads=grads), ld
+
+    @jax.jit
+    def eval_step(p, batch):
+        out = model.apply({"params": p}, batch["images"], train=False)
+        logits = out["stacked"]["pred_logits"][-1]  # (B, Q, C)
+        keys = out["stacked"]["pred_keypoints"][-1]  # (B, Q, 63)
+        # per-GT-slot best query by that label's probability
+        lab = jnp.maximum(batch["labels"], 0)  # (B, 3)
+        prob = jax.nn.sigmoid(logits)
+        per_slot = jnp.take_along_axis(
+            prob.transpose(0, 2, 1), lab[:, :, None], axis=1
+        )  # (B, 3, Q)
+        q = jnp.argmax(per_slot, -1)
+        sel = jnp.take_along_axis(keys, q[..., None], axis=1)  # (B, 3, 63)
+        return sel
+
+    max_steps = args.num_debug if args.debug else None
+
+    if args.eval:
+        preds, gts, vals = [], [], []
+        for batch in dl_val:
+            b = {k: jnp.asarray(v) for k, v in batch.items()}
+            preds.append(np.asarray(eval_step(state.params, b)))
+            gts.append(batch["keypoints63"])
+            vals.append(batch["target_valid"])
+        pred = np.concatenate(preds)  # (N, 3, 63)
+        gt = np.concatenate(gts)
+        scores = assembly_keypoint_metrics(
+            pred, gt, np.concatenate(vals), img_size=(args.img_res, args.img_res))
+        print(json.dumps(scores, indent=2))
+        from ..utils.logging import save_results
+
+        save_results(args.output_dir, -1, score_dict=scores)
+        return scores
+
+    for epoch in range(args.start_epoch, args.epochs):
+        dl_train.set_epoch(epoch)
+        last = {}
+        for i, batch in enumerate(dl_train):
+            b = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, last = train_step(
+                state, b, jax.random.fold_in(rng, epoch * 100000 + i))
+            if max_steps and i + 1 >= max_steps:
+                break
+        ckpt.save_checkpoint(args.output_dir, epoch, state)
+        print(f"epoch {epoch}: total={float(last.get('total', 0.0)):.4f}")
+    return state
+
+
+T_COCO = 3  # left / right / object slots
 
 
 if __name__ == "__main__":

@@ -65,6 +65,8 @@ class ArcticDataset:
         kp3d_cano: Optional[np.ndarray] = None,  # (O, 16, 3) object bottom kps
         two_stage: bool = True,
         eval_mode: bool = False,  # getitem_eval: images+K only, GT withheld
+        seq: Optional[str] = None,  # single-sequence filter (--seq)
+        viewpoint: Optional[str] = None,  # "sid/seq/view" filter (--test_viewpoint)
     ):
         self.root = root
         self.img_res = img_res
@@ -86,6 +88,15 @@ class ArcticDataset:
         ).item()
         self.data = data["data_dict"]
         self.imgnames = list(data["imgnames"])
+        if seq is not None:
+            # single-sequence filter; augmentation off under it
+            # (arctic_dataset.py:424-438)
+            self.imgnames = [n for n in self.imgnames if "/" + seq + "/" in n]
+            self.aug = False
+        if viewpoint is not None:
+            # evaluate one (subject, seq, view) only (--test_viewpoint,
+            # settings.py:33-35)
+            self.imgnames = [n for n in self.imgnames if viewpoint in n]
         with open(op.join(root, "meta/misc.json")) as f:
             misc = json.load(f)
         self.intris_mat = {s: m["intris_mat"] for s, m in misc.items()}

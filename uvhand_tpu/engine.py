@@ -82,8 +82,22 @@ def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
     return step
 
 
-def make_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0):
-    """Forward + decode + per-frame metrics in one jitted program."""
+#: per-batch metrics measure_error can compute; sequence-level ones
+#: (mdev, acc_err_pose) are handled by evaluate_sequences (engine.py:308-310
+#: skips them in the reference's per-batch loop too)
+BATCH_METRICS = ("aae", "mpjpe.ra", "mrrpe", "success_rate", "cdev")
+
+
+def make_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
+                   metrics=BATCH_METRICS, smooth_iter: int = 0):
+    """Forward + decode + per-frame metrics in one jitted program.
+
+    `smooth_iter` > 0 applies `arctic_smoothing` to the predicted vertex sets
+    before measuring, matching the reference's eval-time `--iter` passes
+    (`/root/reference/engine.py:222-226`)."""
+    from .utils.tools import arctic_smoothing
+
+    metrics = tuple(m for m in metrics if m in BATCH_METRICS)
 
     @jax.jit
     def step(params, batch):
@@ -93,8 +107,11 @@ def make_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0):
         last = {k: v[-1] for k, v in st.items()}
         selected = select_queries(last)
         pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
-        metrics = measure_error(pred, targets)
-        return metrics
+        if smooth_iter > 0:
+            for k in ("object.v.cam", "mano.v3d.cam.r", "mano.v3d.cam.l"):
+                pred[k] = arctic_smoothing(pred[k], smooth_iter).reshape(pred[k].shape)
+        out = measure_error(pred, targets, metrics)
+        return out
 
     return step
 
@@ -114,6 +131,8 @@ def train_one_epoch(state, step_fn, loader, epoch: int, rng,
         logger.update(loss=total, grad_norm=float(ld.get("grad_norm", 0.0)))
         if max_steps is not None and i + 1 >= max_steps:
             break
+    # epoch stats averaged over ALL hosts (util/misc.py:225 equivalent)
+    logger.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 
@@ -157,19 +176,24 @@ def evaluate_sequences(params, seq_step, dataset, batch_size: int = 16,
         sid, seq, view, _ = n.split("/")[-4:]
         groups.setdefault(f"{sid}/{seq}/{view}", []).append(i)
 
+    from .data.loader import prefetch_samples
+
     accs, mdevs = {"acc/h": [], "acc/o": []}, []
     for key, ids in groups.items():
         ids = sorted(ids, key=lambda i: dataset.imgnames[i])
         if max_frames:
             ids = ids[:max_frames]
-        preds, tgts = [], []
+        # pad each chunk to a full batch so one program shape serves all;
+        # decode in a thread pool ahead of the device (host/TPU overlap)
+        chunks, trims = [], []
         for s in range(0, len(ids), batch_size):
             chunk = ids[s : s + batch_size]
-            pad = batch_size - len(chunk)
-            samples = [dataset[i] for i in chunk + [chunk[-1]] * pad]
+            trims.append(len(chunk))
+            chunks.append(chunk + [chunk[-1]] * (batch_size - len(chunk)))
+        preds, tgts = [], []
+        for samples, trim in zip(prefetch_samples(dataset, chunks), trims):
             batch = {k: jnp.asarray(v) for k, v in collate(samples).items()}
             p, t = seq_step(params, batch)
-            trim = len(chunk)
             preds.append({k: np.asarray(v)[:trim] for k, v in p.items()})
             tgts.append({k: np.asarray(v)[:trim] for k, v in t.items()})
         pred = {k: np.concatenate([b[k] for b in preds]) for k in preds[0]}
@@ -199,6 +223,14 @@ def evaluate(params, eval_step, loader, sharding=None,
             per_metric.setdefault(k, []).append(np.asarray(v))
         if max_steps is not None and i + 1 >= max_steps:
             break
-    return {
-        k: float(np.nanmean(np.concatenate(v))) for k, v in per_metric.items()
-    }
+    merged = {k: np.concatenate(v) for k, v in per_metric.items()}
+    if jax.process_count() > 1:
+        # per-frame metric rows live on each host's addressable shard; gather
+        # them so every host reports the global score (util/misc.py:225)
+        from jax.experimental import multihost_utils
+
+        merged = {
+            k: np.asarray(multihost_utils.process_allgather(v)).reshape(-1)
+            for k, v in merged.items()
+        }
+    return {k: float(np.nanmean(v)) for k, v in merged.items()}

@@ -69,6 +69,28 @@ class MetricLogger:
     def __str__(self):
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
 
+    def synchronize_between_processes(self, allgather_fn=None):
+        """Merge each meter's (count, total) across hosts so global_avg is
+        the true global average (util/misc.py:225-236's
+        `SmoothedValue.synchronize_between_processes` all_reduce). No-op on a
+        single process; `allgather_fn` is injectable for tests."""
+        import numpy as np
+
+        if allgather_fn is None:
+            import jax
+
+            if jax.process_count() == 1:
+                return
+            from jax.experimental import multihost_utils
+
+            allgather_fn = multihost_utils.process_allgather
+        for m in self.meters.values():
+            arr = np.asarray(
+                allgather_fn(np.asarray([m.count, m.total], np.float64))
+            ).reshape(-1, 2)
+            m.count = int(arr[:, 0].sum())
+            m.total = float(arr[:, 1].sum())
+
     def log_every(self, iterable, print_freq: int, header: str = "", total=None):
         i = 0
         total = total if total is not None else (len(iterable) if hasattr(iterable, "__len__") else None)
@@ -95,14 +117,19 @@ class MetricLogger:
         print(f"{header} Total time: {datetime.timedelta(seconds=int(time.time()-start))}")
 
 
-def save_results(output_dir: str, epoch: int, loss_dict=None, score_dict=None):
-    """Append to loss.txt / results.txt (util/tools.py:607-640)."""
+def save_results(output_dir: str, epoch: int, loss_dict=None, score_dict=None,
+                 header: str | None = None):
+    """Append to loss.txt / results.txt (util/tools.py:607-640). `header`
+    reproduces the reference's eval banner (test_viewpoint / batch*window /
+    iter, util/tools.py:620-623)."""
     os.makedirs(output_dir, exist_ok=True)
     if loss_dict is not None:
         with open(os.path.join(output_dir, "loss.txt"), "a") as f:
             f.write(json.dumps({"epoch": epoch, **{k: float(v) for k, v in loss_dict.items()}}) + "\n")
     if score_dict is not None:
         with open(os.path.join(output_dir, "results.txt"), "a") as f:
+            if header:
+                f.write(f"{'='*10} {header} {'='*10}\n")
             f.write(json.dumps({"epoch": epoch, **{k: float(v) for k, v in score_dict.items()}}) + "\n")
 
 
