@@ -23,7 +23,7 @@ COMMON = dict(num_queries=12, num_encoder_layers=1, num_decoder_layers=2,
 @pytest.mark.parametrize("cfg,two_stage", [
     (dict(two_stage=False, with_box_refine=False), False),   # config 1
     (dict(two_stage=True, with_box_refine=True), True),      # config 2 (R50)
-    (dict(two_stage=True, with_box_refine=True, use_dn=True, dn_number=12), True),  # config 4 DINO
+    (dict(two_stage=True, with_box_refine=True, use_dn=True, dn_number=2), True),  # config 4 DINO
     (dict(two_stage=True, with_box_refine=True, compute_dtype=jnp.bfloat16), True),  # bf16
 ])
 def test_variant_trains(cfg, two_stage):

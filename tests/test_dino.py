@@ -15,7 +15,7 @@ B, T = 2, 3
 
 
 def test_cdn_shapes_and_noise(rng):
-    cfg = CdnConfig(dn_number=24)  # groups = 4, pad = 24
+    cfg = CdnConfig(dn_number=2)  # 2*2 groups (ref dynamic sizing), pad = 24
     assert cfg.groups == 4 and cfg.pad_size == 24
     labels = jnp.asarray([[12, 13, 3], [12, -1, 5]], jnp.int32)
     kps = jnp.asarray(rng.uniform(0.1, 0.9, (B, T, 42)), jnp.float32)
@@ -34,7 +34,7 @@ def test_cdn_shapes_and_noise(rng):
 
 
 def test_cdn_attn_mask_structure():
-    cfg = CdnConfig(dn_number=12)  # groups=2, pad=12
+    cfg = CdnConfig(dn_number=1)  # 2 groups, pad=12
     m = np.asarray(cdn_attn_mask(10, cfg))
     P = cfg.pad_size
     assert m.shape == (P + 10, P + 10)
@@ -54,7 +54,7 @@ def test_dino_model_forward_and_criterion(rng):
     model = UVHandDETR(
         num_queries=12, num_encoder_layers=1, num_decoder_layers=2,
         d_model=64, dim_feedforward=128, n_heads=4, dropout=0.0,
-        feature_mask_ratio=0.0, use_dn=True, dn_number=12,
+        feature_mask_ratio=0.0, use_dn=True, dn_number=2,
     )
     imgs = jnp.zeros((B, 64, 64, 3), jnp.float32)
     dn_t = {k: targets[k] for k in ("labels", "keypoints", "target_valid")}
@@ -70,7 +70,7 @@ def test_dino_model_forward_and_criterion(rng):
     )
     assert out["pred_logits"].shape == (B, 12, 14)  # dn split off
     assert "dn_outputs" in out
-    assert out["dn_outputs"]["pred_logits"].shape[2] == CdnConfig(12).pad_size
+    assert out["dn_outputs"]["pred_logits"].shape[2] == CdnConfig(2).pad_size
 
     total, ld = arctic_criterion(out, targets, mano_r, mano_l, bank)
     assert np.isfinite(float(total))
@@ -83,7 +83,7 @@ def test_dino_model_forward_and_criterion(rng):
 
 
 def test_dn_losses_mask_invalid(rng):
-    cfg = CdnConfig(dn_number=12)
+    cfg = CdnConfig(dn_number=2)
     labels = jnp.asarray([[12, -1, -1]], jnp.int32)
     kps = jnp.asarray(rng.uniform(0.1, 0.9, (1, 3, 42)), jnp.float32)
     valid = jnp.asarray([[True, False, False]])
@@ -94,3 +94,74 @@ def test_dn_losses_mask_invalid(rng):
     hand = jnp.tile(dn["dn_keys_gt"][None], (2, 1, 1, 1))
     ld = dn_losses(logits, hand, hand, dn, jnp.asarray(1.0))
     assert float(ld["loss_key_dn"]) < 1e-6
+
+
+def test_dn_group_sizing_matches_reference():
+    """Dynamic dn group arithmetic (dn_components.py:46-56): dn_number
+    doubles, then divides by 2*max-GT (=3 static slots) when >= 100."""
+    assert CdnConfig(dn_number=100).groups == 33   # 200 // 6
+    assert CdnConfig(dn_number=100).pad_size == 198
+    assert CdnConfig(dn_number=50).groups == 16    # 100 // 6
+    assert CdnConfig(dn_number=2).groups == 4      # < 100: stays doubled
+    assert CdnConfig(dn_number=0).groups == 1
+
+
+def test_dn_losses_zero_on_noiseless(rng):
+    """With zero noise and perfect predictions the dn losses vanish:
+    positives predict their GT label+keys, negatives predict no-object."""
+    cfg = CdnConfig(dn_number=2, label_noise_ratio=0.0, box_noise_scale=0.0)
+    labels = jnp.asarray([[12, 13, 3]], jnp.int32)
+    kps = jnp.asarray(rng.uniform(0.1, 0.9, (1, 3, 42)), jnp.float32)
+    valid = jnp.asarray([[True, True, True]])
+    dn = prepare_cdn(jax.random.PRNGKey(0), labels, kps, valid, 14, cfg)
+    # zero noise -> noised queries equal the GT
+    np.testing.assert_array_equal(
+        np.asarray(dn["dn_labels_noised"]), np.asarray(dn["dn_labels_gt"]))
+    np.testing.assert_allclose(
+        1 / (1 + np.exp(-np.asarray(dn["dn_keys_unact"]))),
+        np.asarray(dn["dn_keys_gt"]), atol=1e-5)
+
+    P = cfg.pad_size
+    pos = np.asarray(dn["dn_valid"] & ~dn["dn_is_negative"])  # (1, P)
+    gt_oh = np.eye(14)[np.asarray(dn["dn_labels_gt"])]  # (1, P, 14)
+    logits = np.where(pos[..., None] & (gt_oh > 0), 40.0, -40.0)
+    logits = jnp.asarray(np.tile(logits[None], (1, 1, 1, 1)), jnp.float32)
+    hand = jnp.asarray(dn["dn_keys_gt"])[None]
+    ld = dn_losses(logits, hand, hand, dn, jnp.asarray(1.0))
+    assert float(ld["loss_key_dn"]) < 1e-6
+    assert float(ld["loss_ce_dn"]) < 1e-6
+
+
+def test_look_forward_twice_gradient_path():
+    """look_forward_twice (deformable_transformer.py:810-817): layer l's
+    aux keypoint loss must backprop into layer l-1's refinement head; with
+    the flag off (deformable-DETR default) that path is detached."""
+    def grad_norm(lft):
+        model = UVHandDETR(
+            num_queries=8, num_encoder_layers=1, num_decoder_layers=2,
+            d_model=64, dim_feedforward=64, n_heads=4, dropout=0.0,
+            feature_mask_ratio=0.0, two_stage=True, with_box_refine=True,
+            look_forward_twice=lft,
+        )
+        imgs = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 64, 64, 3)), jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, imgs)["params"]
+        # at init every query argmaxes to class 0 (neither hand nor object),
+        # so the refinement delta is gated to zero; bias layer-0's class head
+        # toward 'right hand' so the refine path is exercised
+        params = jax.tree_util.tree_map_with_path(
+            lambda kp, v: v.at[12].add(10.0)
+            if ("cls_head0" in jax.tree_util.keystr(kp)
+                and "bias" in jax.tree_util.keystr(kp)) else v,
+            params)
+
+        def loss(p):
+            out = model.apply({"params": p}, imgs, train=False)
+            return jnp.sum(out["stacked"]["pred_hand_key"][1] ** 2)
+
+        g = jax.grad(loss)(params)
+        gk0 = g["transformer"]["key_head0"]
+        return max(float(jnp.abs(x).max()) for x in jax.tree.leaves(gk0))
+
+    assert grad_norm(False) == 0.0
+    assert grad_norm(True) > 0.0

@@ -74,6 +74,8 @@ class UVHandDETR(nn.Module):
     dn_number: int = 100
     dn_label_noise_ratio: float = 0.5
     dn_box_noise_scale: float = 1.0
+    # DINO look-forward-twice refinement-gradient path (dino default)
+    look_forward_twice: bool = False
     # bf16 transformer compute (params stay fp32); fp32 default == reference
     compute_dtype: 'jnp.dtype' = jnp.float32
 
@@ -87,6 +89,13 @@ class UVHandDETR(nn.Module):
 
                 self.backbone_net = SwinTransformer.swin_l_384(name="backbone")
                 self.backbone_channels = SWIN_L_CHANNELS
+            elif self.backbone == "convnext_xlarge_22k":
+                # DINO's ConvNeXt option (models/dino/backbone.py:206-207)
+                from .backbones.convnext import ConvNeXt, CONVNEXT_XL_CHANNELS
+
+                self.backbone_net = ConvNeXt.convnext_xl(
+                    dtype=self.compute_dtype, name="backbone")
+                self.backbone_channels = CONVNEXT_XL_CHANNELS
             else:
                 raise ValueError(f"unknown backbone {self.backbone}")
             n_backbone = len(self.backbone_channels)
@@ -118,6 +127,7 @@ class UVHandDETR(nn.Module):
             num_queries=self.num_queries,
             num_classes=self.num_classes,
             with_box_refine=self.with_box_refine,
+            look_forward_twice=self.look_forward_twice,
             compute_dtype=self.compute_dtype,
             name="transformer",
         )

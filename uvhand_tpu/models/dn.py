@@ -34,7 +34,14 @@ class CdnConfig(NamedTuple):
 
     @property
     def groups(self) -> int:
-        return max(1, self.dn_number // (2 * T_SLOTS))
+        """Group count follows the reference's dynamic sizing
+        (dn_components.py:46-56): dn_number doubles, then (when >= 100)
+        divides by 2*max-GT-count. Our GT count is the static 3 slots, so
+        the whole expression is a compile-time constant."""
+        n = self.dn_number * 2
+        if n >= 100:
+            n = n // (T_SLOTS * 2)
+        return max(1, n)
 
     @property
     def pad_size(self) -> int:

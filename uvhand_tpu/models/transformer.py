@@ -197,6 +197,11 @@ class DeformableTransformer(nn.Module):
     num_classes: int = 14
     with_box_refine: bool = True
     two_stage_learn_xy: bool = True
+    # DINO look-forward-twice (models/dino/deformable_transformer.py:810-817
+    # with use_detached_boxes_dec_out=False): layer l's keypoint output is
+    # based on the UNDETACHED updated ref from layer l-1, so the aux loss at
+    # layer l also trains layer l-1's refinement head
+    look_forward_twice: bool = False
     compute_dtype: 'jnp.dtype' = jnp.float32
 
     def setup(self):
@@ -406,6 +411,11 @@ class DeformableTransformer(nn.Module):
 
         # ---- decoder ----
         hs_list, refs_in_list, logits_list = [], [], []
+        # undetached ref entering each layer (ref_points list in the DINO
+        # decoder, deformable_transformer.py:723,817): same values as
+        # refs_in_list but with gradient flowing into the previous layer's
+        # refinement head — used when look_forward_twice
+        refs_undet_list = [reference_points]
         output = tgt
         ref = reference_points
         for lid, layer in enumerate(self.dec_layers):
@@ -428,11 +438,15 @@ class DeformableTransformer(nn.Module):
                 delta = jnp.where(
                     hand_m[..., None], d_hand, jnp.where(obj_m[..., None], d_obj, 0.0)
                 )
-                ref = jax.nn.sigmoid(inverse_sigmoid(ref) + delta) * 2 - 1
-                ref = jax.lax.stop_gradient(ref)
+                new_ref = jax.nn.sigmoid(inverse_sigmoid(ref) + delta) * 2 - 1
+                ref = jax.lax.stop_gradient(new_ref)
+                refs_undet_list.append(new_ref)
 
         hs = jnp.stack(hs_list)  # (n_dec, B, Q, C)
-        refs_in = jnp.stack(refs_in_list)  # ref at the input of each layer
+        if self.look_forward_twice and self.with_box_refine and self.two_stage:
+            refs_in = jnp.stack(refs_undet_list[: self.num_decoder_layers])
+        else:
+            refs_in = jnp.stack(refs_in_list)  # ref at the input of each layer
         pred_logits = jnp.stack(logits_list)
 
         # per-layer keypoint outputs (actic_detr.py:282-295): delta(hs_l) +
