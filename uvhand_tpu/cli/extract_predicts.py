@@ -123,17 +123,18 @@ def run_extraction(model, params, dataset, batch_size, out_dir, img_res=224.0,
         sid, seq_name, _, _ = n.split("/")[-4:]
         groups.setdefault(f"{sid}/{seq_name}", []).append(i)
 
+    from ..data.loader import prefetch_samples
+
     fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
     for seq, ids in groups.items():
         out_list = []
+        chunks, trims = [], []
         for s in range(0, len(ids), batch_size):
             chunk = ids[s : s + batch_size]
-            if len(chunk) < batch_size:  # pad, then trim
-                chunk = chunk + [chunk[-1]] * (batch_size - len(chunk))
-                trim = len(ids) - s
-            else:
-                trim = len(chunk)
-            samples = [dataset[i] for i in chunk]
+            trims.append(len(chunk))
+            chunks.append(chunk + [chunk[-1]] * (batch_size - len(chunk)))
+        # host decode overlaps device compute (thread-pool prefetch)
+        for samples, trim in zip(prefetch_samples(dataset, chunks), trims):
             imgs = jnp.asarray(np.stack([x["images"] for x in samples]))
             K = jnp.asarray(np.stack([x["intrinsics"] for x in samples]))
             outputs = fwd(params, imgs)

@@ -75,6 +75,32 @@ class DataLoader:
             yield futures.popleft().result()
 
 
+def prefetch_samples(dataset, chunks: Sequence[Sequence[int]], ahead: int = 3,
+                     workers: int = 8):
+    """Yield `[dataset[i] for i in chunk]` per chunk, decoded in a thread
+    pool `ahead` chunks in advance. Used by the sequence-eval and
+    submission-extraction host loops so cv2 decode overlaps device compute
+    (the reference leans on torch DataLoader workers for the same,
+    extract_predicts.py:99-130)."""
+    sample_pool = ThreadPoolExecutor(max_workers=workers)
+    chunk_pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        def fetch(ids):
+            return list(sample_pool.map(dataset.__getitem__, ids))
+
+        futures = collections.deque()
+        chunks = list(chunks)
+        submit = 0
+        for c in range(len(chunks)):
+            while submit < min(len(chunks), c + ahead):
+                futures.append(chunk_pool.submit(fetch, chunks[submit]))
+                submit += 1
+            yield futures.popleft().result()
+    finally:
+        sample_pool.shutdown(wait=False)
+        chunk_pool.shutdown(wait=False)
+
+
 def device_prefetch(iterator, sharding=None, buffer: int = 2):
     """Move batches to device `buffer` steps ahead (arctic_prefetcher.py TPU
     equivalent — double buffering into HBM)."""
