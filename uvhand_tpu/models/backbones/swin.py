@@ -138,7 +138,11 @@ class SwinBlock(nn.Module):
             if self.drop_path <= 0 or not train:
                 return v
             keep = 1.0 - self.drop_path
-            rng = self.make_rng("dropout")
+            # fold the site index in so the two drop-path sites of a block
+            # draw decorrelated masks
+            rng = jax.random.fold_in(
+                self.make_rng("dropout"), {"dp1": 1, "dp2": 2}[rng_name]
+            )
             m = jax.random.bernoulli(rng, keep, (B, 1, 1)).astype(v.dtype)
             return v * m / keep
 
