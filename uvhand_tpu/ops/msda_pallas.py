@@ -130,7 +130,7 @@ def _fwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
 
 
 def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
-                v_ref, g_ref, dv_ref, dpy_ref, dpx_ref, daw_ref):
+                v_ref, g_ref, dv_ref, dpy_ref, dpx_ref, daw_ref, ws_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
@@ -139,16 +139,16 @@ def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
         return jnp.sum(x, axis=1, keepdims=True)
 
     g = g_ref[0]  # (Qt, D)
+    # one MXU dot over the whole padded token axis: G[q, s] = sum_d g V
+    G_all = jax.lax.dot_general(
+        g, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (Qt, S_pad)
     dpy_cols, dpx_cols, daw_cols = [], [], []
     for l, (off, seg) in enumerate(plan):
         sy = sy_ref[:, off : off + seg]
         sx = sx_ref[:, off : off + seg]
-        v_l = v_ref[0, off : off + seg, :]
-        # G[q, s] = sum_d g[q, d] V[s, d]
-        G = jax.lax.dot_general(
-            g, v_l, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # (Qt, seg)
+        G = G_all[:, off : off + seg]
         wsum = None
         for p in range(P):
             k = l * P + p
@@ -172,12 +172,13 @@ def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
             tx = jnp.where(adx < 1.0, jnp.sign(dx), 0.0) * wyG
             dpy_cols.append(-aw * red(ty))
             dpx_cols.append(-aw * red(tx))
-        # dV_l = W^T @ g, accumulated across query tiles
-        dvl = jax.lax.dot_general(
-            wsum.astype(vdt), g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # (seg, D)
-        dv_ref[0, off : off + seg, :] += dvl.astype(dv_ref.dtype)
+        ws_ref[:, off : off + seg] = wsum.astype(ws_ref.dtype)
+    # dV = W^T @ g in ONE dot over the whole token axis, accumulated
+    # across query tiles
+    dv_ref[0] += jax.lax.dot_general(
+        ws_ref[...], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dv_ref.dtype)
     dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
     dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
     daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
@@ -314,6 +315,7 @@ def _msda_pallas_bwd(spatial_shapes, dims, res, g):
             jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
             jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp, gb)
