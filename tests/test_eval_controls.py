@@ -103,3 +103,72 @@ def test_eval_step_metric_selection_and_smoothing(root):
     assert out_sm["cdev/ho"].shape == out["cdev/ho"].shape
     assert np.isfinite(out_sm["cdev/ho"]).any()
     assert not np.allclose(out_sm["cdev/ho"], out["cdev/ho"])
+
+
+def test_reference_flag_compat_surface():
+    """The reference's live train/eval flags all parse (settings.py:17-205;
+    distributed/amp ones are accepted for command compatibility)."""
+    p = get_args_parser()
+    known = p._option_string_actions
+    for flag in [
+        "--visualization", "--num_workers", "--not_use_optim_ckpt",
+        "--not_use_lr_scheduler_ckpt", "--save_checkpoint_interval",
+        "--position_embedding", "--no_aux_loss", "--set_cost_class",
+        "--set_cost_keypoint", "--config_file", "--options", "--cache_mode",
+        "--make_pickle", "--label_noise_scale", "--box_noise_scale",
+        "--use_dn", "--device", "--world_size", "--rank", "--dist_url",
+        "--dist_backend", "--amp", "--eval_metrics", "--test_viewpoint",
+        "--seq", "--iter", "--resume", "--resume_dir", "--not_use_params",
+        "--onecyclelr", "--use_augm", "--feature_type", "--train_smoothnet",
+        "--smooth_resume", "--wandb", "--extract", "--sgd",
+    ]:
+        assert flag in known, flag
+
+
+def test_config_file_merge(tmp_path):
+    """--config_file merges SLConfig keys not already on args
+    (set_dino_args, settings.py:528-560)."""
+    import json as _json
+
+    from uvhand_tpu.cli.main import main
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text("custom_knob = 7\nlr = 9.9\n")
+    # drive just the merge: call main with --eval on a missing dataset would
+    # go too far; instead replicate the merge block via a tiny args object
+    p = get_args_parser()
+    args = p.parse_args(["--config_file", str(cfg)])
+    from uvhand_tpu.utils.slconfig import SLConfig
+
+    c = SLConfig.fromfile(str(cfg))
+    for k, v in c.items():
+        if k not in vars(args):
+            setattr(args, k, v)
+    assert args.custom_knob == 7
+    assert args.lr == 2e-4  # existing arg keys win (settings.py:548-550)
+
+
+def test_arctic_cli_eval_smoke(root, tmp_path):
+    """The published arctic eval command shape (--two_stage
+    --with_box_refine --eval) runs end-to-end through the CLI."""
+    from uvhand_tpu.cli.main import main
+
+    argv = [
+        "--dataset_file", "arctic", "--coco_path", str(tmp_path / "nope"),
+        "--output_dir", str(tmp_path / "out"),
+        "--two_stage", "--with_box_refine",
+        "--enc_layers", "1", "--dec_layers", "1", "--hidden_dim", "64",
+        "--dim_feedforward", "64", "--nheads", "4", "--dropout", "0.0",
+        # conftest provides 8 virtual devices; the batch shards over dp=8
+        "--batch_size", "8", "--val_batch_size", "8",
+        "--debug", "--num_debug", "1", "--num_workers", "2",
+        "--eval", "--eval_metrics", "aae", "cdev", "--iter", "1",
+    ]
+    args = get_args_parser().parse_args(argv)
+    # point the dataset at the synthetic fixture root
+    import os
+    os.makedirs(str(tmp_path / "nope"), exist_ok=True)
+    os.symlink(root, str(tmp_path / "nope" / "arctic"))
+    main(args)
+    results = (tmp_path / "out" / "results.txt").read_text()
+    assert "aae" in results and "8*1, 1iter" in results

@@ -23,3 +23,35 @@ def test_export_scene(rng, tmp_path):
     with open(base + "_object.obj") as f:
         lines = f.readlines()
     assert len([l for l in lines if l.startswith("v ")]) == 60
+
+
+def test_save_eval_visualizations(tmp_path):
+    """--visualization eval mode writes overlays + OBJ meshes."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from uvhand_tpu.data import arctic
+    from uvhand_tpu.evaluation.visualize import save_eval_visualizations
+    from uvhand_tpu.geometry import mano, objects
+    from uvhand_tpu.models.detr import UVHandDETR
+
+    root = str(tmp_path / "arc")
+    arctic.make_synthetic_root(root, num_seqs=1, frames=4, views=1)
+    bank = objects.synthetic_object_bank(2)
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    ds = arctic.ArcticDataset(root, "p1", "val",
+                              kp3d_cano=np.asarray(bank.kp_bottom))
+    model = UVHandDETR(num_queries=12, num_encoder_layers=1,
+                       num_decoder_layers=1, d_model=64, dim_feedforward=64,
+                       n_heads=4, dropout=0.0, feature_mask_ratio=0.0)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 224, 224, 3)))["params"]
+    out = save_eval_visualizations(model, params, ds, mano_r, mano_l, bank,
+                                   str(tmp_path / "vis"), 224.0,
+                                   batch_size=2, max_frames=4)
+    import os
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    objs = [f for f in os.listdir(out) if f.endswith(".obj")]
+    assert len(pngs) == 4 and len(objs) >= 3

@@ -54,8 +54,49 @@ def get_args_parser():
     p.add_argument("--extraction_mode", default="", type=str,
                    help="e.g. submit_pose: export predictions in ARCTIC layout")
     p.add_argument("--dn_number", default=100, type=int)
+    p.add_argument("--label_noise_scale", default=0.5, type=float,
+                   help="dn label flip probability scale (settings.py dn args)")
+    p.add_argument("--box_noise_scale", default=1.0, type=float,
+                   help="dn keypoint noise scale")
+    p.add_argument("--use_dn", action="store_true",
+                   help="enable denoising queries (same as --modelname dino)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 transformer compute (params stay fp32)")
+    p.add_argument("--visualization", action="store_true",
+                   help="eval: dump 2D keypoint overlays instead of metrics"
+                        " (settings.py:26, engine.py:740)")
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--not_use_optim_ckpt", action="store_true",
+                   help="resume params only, fresh optimizer state")
+    p.add_argument("--not_use_lr_scheduler_ckpt", action="store_true",
+                   help="alias of --not_use_optim_ckpt here: the schedule"
+                        " lives in the optimizer step count")
+    p.add_argument("--save_checkpoint_interval", default=1, type=int)
+    p.add_argument("--position_embedding", default="sine",
+                   choices=["sine", "learned"])
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false",
+                   default=True)
+    p.add_argument("--set_cost_class", default=2.0, type=float,
+                   help="matcher class cost weight")
+    p.add_argument("--set_cost_keypoint", default=5.0, type=float,
+                   help="matcher keypoint L1 cost weight")
+    p.add_argument("--config_file", "-c", default="", type=str,
+                   help="SLConfig .py file merged into args"
+                        " (settings.py:528-560 set_dino_args)")
+    p.add_argument("--options", nargs="+", default=None,
+                   help="key=value overrides applied to --config_file")
+    p.add_argument("--cache_mode", action="store_true",
+                   help="COCO datasets: cache decoded images in memory")
+    p.add_argument("--make_pickle", action="store_true")
+    # accepted for command-line compatibility; single-controller JAX derives
+    # topology itself (util/misc.py:519 init_distributed_mode equivalents
+    # live in train/launch.py) and amp is the --bf16 knob here
+    p.add_argument("--device", default="tpu")
+    p.add_argument("--world_size", default=1, type=int)
+    p.add_argument("--rank", default=0, type=int)
+    p.add_argument("--dist_url", default="env://")
+    p.add_argument("--dist_backend", default=None)
+    p.add_argument("--amp", action="store_true")
     # model (settings.py:71-155)
     p.add_argument("--modelname", default="deformable_detr",
                    choices=["deformable_detr", "dino"])
@@ -149,9 +190,13 @@ def build_model(args):
             num_feature_levels=args.num_feature_levels,
         )
 
-    use_dn = args.modelname == "dino"
+    use_dn = args.modelname == "dino" or getattr(args, "use_dn", False)
     return UVHandDETR(
         use_dn=use_dn,
+        dn_label_noise_ratio=getattr(args, "label_noise_scale", 0.5),
+        dn_box_noise_scale=getattr(args, "box_noise_scale", 1.0),
+        aux_loss=getattr(args, "aux_loss", True),
+        position_embedding=getattr(args, "position_embedding", "sine"),
         # DINO's decoder defaults to look-forward-twice
         # (use_detached_boxes_dec_out=False, deformable_transformer.py:810)
         look_forward_twice=use_dn,
@@ -189,6 +234,19 @@ def main(args):
     enable_compilation_cache()
     import jax
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.config_file:
+        # SLConfig merge: cfg keys NOT already on args are added
+        # (set_dino_args, settings.py:528-560); --options overrides cfg
+        from ..utils.slconfig import SLConfig
+
+        cfg = SLConfig.fromfile(args.config_file)
+        if args.options:
+            cfg.merge_from_list(list(args.options))
+        for k, v in cfg.items():
+            if k not in vars(args):
+                setattr(args, k, v)
+        with open(os.path.join(args.output_dir, "config_args_raw.json"), "w") as f:
+            json.dump(vars(args), f, indent=2, default=str)
     with open(os.path.join(args.output_dir, "running_cmd.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)  # save_cmd equivalent
 
@@ -230,12 +288,15 @@ def main(args):
         )
         dl_train = DataLoader(
             tds, max(args.batch_size // args.window_size, 1), seed=args.seed,
+            num_workers=args.num_workers,
             collate_fn=_partial(arctic_data.collate_tempo_train,
                                 split_window=args.split_window),
         )
     else:
-        dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed)
-    dl_val = DataLoader(ds_val, args.val_batch_size, shuffle=False, drop_last=False)
+        dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed,
+                              num_workers=args.num_workers)
+    dl_val = DataLoader(ds_val, args.val_batch_size, shuffle=False,
+                        drop_last=False, num_workers=args.num_workers)
 
     imgs = jnp.zeros((1, args.img_res, args.img_res, 3), jnp.float32)
     params = jax.jit(model.init)({"params": rng}, imgs)
@@ -265,7 +326,10 @@ def main(args):
                 two_stage=args.two_stage,
                 num_feature_levels=args.num_feature_levels,
             )
-        return ckpt.load_checkpoint(args.resume, st, args.not_use_params)
+        return ckpt.load_checkpoint(
+            args.resume, st, args.not_use_params,
+            load_opt=not (args.not_use_optim_ckpt or args.not_use_lr_scheduler_ckpt),
+        )
 
     if args.resume:
         state = load_resume(state)
@@ -277,6 +341,7 @@ def main(args):
     step_fn = engine.make_fused_train_step(
         model, mano_r, mano_l, bank, img_res=float(args.img_res),
         two_stage=args.two_stage,
+        cost_class=args.set_cost_class, cost_keypoint=args.set_cost_keypoint,
     )
     eval_step = engine.make_eval_step(
         model, mano_r, mano_l, bank, float(args.img_res),
@@ -335,6 +400,18 @@ def main(args):
             print(f"smoothnet epoch {epoch}: loss={float(ld['total']):.4f}")
         return
 
+    if args.eval and args.visualization:
+        # dump 2D keypoint overlays (engine.py:740 visualize_arctic_result)
+        from ..evaluation.visualize import save_eval_visualizations
+
+        out = save_eval_visualizations(
+            model, state.params, ds_val, mano_r, mano_l, bank,
+            os.path.join(args.output_dir, "vis"), float(args.img_res),
+            max_frames=args.num_debug * args.val_batch_size if args.debug else 64,
+        )
+        print(f"visualizations written to {out}")
+        return
+
     if args.eval:
         ckpts = ckpt.list_checkpoints(args.resume_dir) if args.resume_dir else [None]
         for c in ckpts:
@@ -364,7 +441,8 @@ def main(args):
             state, step_fn, dl_train, epoch, jax.random.fold_in(rng, epoch),
             sharding=sharding, max_steps=max_steps,
         )
-        ckpt.save_checkpoint(args.output_dir, epoch, state, extra={"epoch": epoch})
+        if (epoch + 1) % args.save_checkpoint_interval == 0:
+            ckpt.save_checkpoint(args.output_dir, epoch, state, extra={"epoch": epoch})
         scores = engine.evaluate(state.params, eval_step, dl_val,
                                  sharding=sharding, max_steps=max_steps)
         from ..utils.logging import save_results
@@ -392,16 +470,19 @@ def run_coco(args, rng):
     model = build_model(args)
     root = os.path.join(args.coco_path, args.dataset_file)
     ds_train = CocoHandsDataset(root, args.trainsplit, img_res=args.img_res,
-                                aug=True, seed=args.seed)
-    ds_val = CocoHandsDataset(root, args.valsplit, img_res=args.img_res)
+                                aug=not args.make_pickle, seed=args.seed,
+                                cache_mode=args.cache_mode)
+    ds_val = CocoHandsDataset(root, args.valsplit, img_res=args.img_res,
+                              cache_mode=args.cache_mode)
 
     def collate(samples):
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     dl_train = DataLoader(ds_train, args.batch_size, seed=args.seed,
-                          collate_fn=collate)
+                          collate_fn=collate, num_workers=args.num_workers)
     dl_val = DataLoader(ds_val, args.val_batch_size, shuffle=False,
-                        drop_last=False, collate_fn=collate)
+                        drop_last=False, collate_fn=collate,
+                        num_workers=args.num_workers)
 
     imgs = jnp.zeros((1, args.img_res, args.img_res, 3), jnp.float32)
     params = jax.jit(model.init)({"params": rng}, imgs)

@@ -60,7 +60,8 @@ def cam2pixel(cam_coord: np.ndarray, f, c) -> np.ndarray:
 
 class CocoHandsDataset:
     def __init__(self, root: str, split: str = "train", img_res: int = 224,
-                 num_obj_classes: int = 8, aug: bool = False, seed: int = 0):
+                 num_obj_classes: int = 8, aug: bool = False, seed: int = 0,
+                 cache_mode: bool = False):
         self.root = root
         self.img_res = img_res
         self.num_obj_classes = num_obj_classes
@@ -68,6 +69,10 @@ class CocoHandsDataset:
         # (datasets/coco.py:254-266 applies them for image_set == 'train')
         self.aug = aug
         self.rng = np.random.default_rng(seed)
+        # --cache_mode: keep decoded+resized images in memory
+        # (CocoDetection cache_mode, datasets/torchvision_datasets/coco.py)
+        self.cache_mode = cache_mode
+        self._img_cache = {}
         with open(op.join(root, f"annotations/{split}.json")) as f:
             data = json.load(f)
         self.images = {im["id"]: im for im in data["images"]}
@@ -84,10 +89,17 @@ class CocoHandsDataset:
 
         iid = self.ids[index]
         im_info = self.images[iid]
-        img = cv2.imread(op.join(self.root, "images", im_info["file_name"]))
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        H0, W0 = img.shape[:2]
-        img = cv2.resize(img, (self.img_res, self.img_res), interpolation=cv2.INTER_LINEAR)
+        if self.cache_mode and iid in self._img_cache:
+            img, (H0, W0) = self._img_cache[iid]
+            img = img.copy()
+        else:
+            img = cv2.imread(op.join(self.root, "images", im_info["file_name"]))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            H0, W0 = img.shape[:2]
+            img = cv2.resize(img, (self.img_res, self.img_res),
+                             interpolation=cv2.INTER_LINEAR)
+            if self.cache_mode:
+                self._img_cache[iid] = (img.copy(), (H0, W0))
 
         f = im_info["cam_param"]["focal"]
         c = im_info["cam_param"]["princpt"]

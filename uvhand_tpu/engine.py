@@ -49,7 +49,8 @@ def select_output_frames(outputs, idx):
 
 
 def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
-                          weights=None, two_stage=True):
+                          weights=None, two_stage=True,
+                          cost_class=2.0, cost_keypoint=5.0):
     """Raw batch -> GT preprocess -> fwd -> criterion -> update, one program."""
 
     def loss_fn(params, batch, rng):
@@ -66,6 +67,7 @@ def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
         return arctic_criterion(
             outputs, targets, mano_r, mano_l, obj_bank,
             img_res=img_res, weights=weights, two_stage=two_stage,
+            cost_class=cost_class, cost_keypoint=cost_keypoint,
         )
 
     # NOTE: no donation — flax TrainState + multi_transform opt state contains
@@ -104,7 +106,7 @@ def make_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
         targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
         outputs = model.apply({"params": params}, batch["images"], train=False)
         st = outputs["stacked"]
-        last = {k: v[-1] for k, v in st.items()}
+        last = {k: v[-1] for k, v in st.items() if v is not None}
         selected = select_queries(last)
         pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
         if smooth_iter > 0:
@@ -146,7 +148,8 @@ def make_sequence_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0):
         targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
         outputs = model.apply({"params": params}, batch["images"], train=False)
         st = outputs["stacked"]
-        selected = select_queries({k: v[-1] for k, v in st.items()})
+        selected = select_queries(
+            {k: v[-1] for k, v in st.items() if v is not None})
         pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
         keep_pred = {k: pred[k] for k in (
             "mano.v3d.cam.r", "mano.v3d.cam.l", "mano.j3d.cam.r", "mano.j3d.cam.l",

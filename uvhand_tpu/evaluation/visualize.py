@@ -73,3 +73,59 @@ def export_scene(out_dir: str, frame_idx: int, pred: dict,
     vlen = int(np.asarray(pred["object.v_len"])[frame_idx]) if "object.v_len" in pred else len(v)
     export_obj(base + "_object.obj", v[:vlen], obj_faces)
     return base
+
+
+def save_eval_visualizations(model, params, dataset, mano_r, mano_l, obj_bank,
+                             out_dir: str, img_res: float = 224.0,
+                             batch_size: int = 4, max_frames: int = 64):
+    """--visualization eval mode (engine.py:740 `visualize_arctic_result`):
+    run inference over the val set and write 2D keypoint overlays (pred
+    joints projected with the frame intrinsics) plus OBJ meshes for the
+    first frames."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.arctic import collate
+    from ..data.process import process_targets
+    from ..evaluation.decode import decode_predictions
+    from ..geometry import camera
+    from ..losses.criterion import select_queries
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def step(p, batch):
+        targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
+        outputs = model.apply({"params": p}, batch["images"], train=False)
+        sel = select_queries({k: v[-1] for k, v in outputs["stacked"].items()})
+        pred = decode_predictions(sel, targets, mano_r, mano_l, obj_bank, img_res)
+        K = targets["intrinsics"]
+        out2d = {}
+        for key, j3d in (("r", pred["mano.j3d.cam.r"]),
+                         ("l", pred["mano.j3d.cam.l"]),
+                         ("o", pred["object.kp3d.cam"])):
+            out2d[key] = camera.normalize_kp2d(camera.project2d(K, j3d), img_res)
+        return out2d, {k: pred[k] for k in
+                       ("mano.v3d.cam.r", "mano.v3d.cam.l", "object.v.cam")}
+
+    n = min(len(dataset), max_frames)
+    written = 0
+    for s0 in range(0, n, batch_size):
+        ids = list(range(s0, min(s0 + batch_size, n)))
+        samples = [dataset[i] for i in ids]
+        batch = {k: jnp.asarray(v) for k, v in collate(samples).items()}
+        kp2d, meshes = step(params, batch)
+        kp2d = {k: np.asarray(v) for k, v in kp2d.items()}
+        for bi, i in enumerate(ids):
+            img = draw_keypoints_2d(
+                samples[bi]["images"],
+                {k: kp2d[k][bi] for k in kp2d}, int(img_res))
+            cv2.imwrite(op.join(out_dir, f"{i:05d}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            if written < 4:  # OBJ meshes for the first few frames
+                export_scene(out_dir, bi, {k: np.asarray(v) for k, v in meshes.items()},
+                             mano_faces_r=np.asarray(mano_r.faces) if hasattr(mano_r, "faces") else None,
+                             mano_faces_l=np.asarray(mano_l.faces) if hasattr(mano_l, "faces") else None)
+            written += 1
+    return out_dir

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .backbones.resnet import ResNet50, RESNET50_CHANNELS
-from .posenc import sine_position_encoding
+from .posenc import LearnedPositionEncoding, sine_position_encoding
 from .transformer import DeformableTransformer
 
 
@@ -76,8 +76,15 @@ class UVHandDETR(nn.Module):
     dn_box_noise_scale: float = 1.0
     # DINO look-forward-twice refinement-gradient path (dino default)
     look_forward_twice: bool = False
+    # 'sine' (default) | 'learned' (position_encoding.py learned variant)
+    position_embedding: str = "sine"
     # bf16 transformer compute (params stay fp32); fp32 default == reference
     compute_dtype: 'jnp.dtype' = jnp.float32
+
+    def _posenc(self, mask):
+        if self.position_embedding == "learned":
+            return self.pos_embed_learned(mask)
+        return sine_position_encoding(mask, self.d_model // 2)
 
     def setup(self):
         if self.feature_type == "origin":
@@ -141,6 +148,11 @@ class UVHandDETR(nn.Module):
                 self.num_classes + 1, self.d_model, name="label_enc"
             )
 
+        if self.position_embedding == "learned":
+            self.pos_embed_learned = LearnedPositionEncoding(
+                num_pos_feats=self.d_model // 2, name="pos_embed"
+            )
+
         xavier = nn.initializers.xavier_uniform()
         self.mano_pose_head = nn.Dense(48, kernel_init=xavier, name="mano_pose_head")
         self.mano_beta_head = nn.Dense(10, kernel_init=xavier, name="mano_beta_head")
@@ -179,7 +191,7 @@ class UVHandDETR(nn.Module):
                 ).astype(bool)
                 srcs.append(self._feature_mask(self.input_projs[l](f), train))
                 masks.append(m)
-                poses.append(sine_position_encoding(m, self.d_model // 2))
+                poses.append(self._posenc(m))
             for l in range(len(feats), self.num_feature_levels):
                 src = self.input_projs[l](feats[-1] if l == len(feats) else srcs[-1])
                 m = jax.image.resize(
@@ -187,7 +199,7 @@ class UVHandDETR(nn.Module):
                 ).astype(bool)
                 srcs.append(self._feature_mask(src, train))
                 masks.append(m)
-                poses.append(sine_position_encoding(m, self.d_model // 2))
+                poses.append(self._posenc(m))
         else:
             # precomputed multi-scale features: list of (B, H_l, W_l, C)
             srcs, masks, poses = [], [], []
@@ -196,7 +208,7 @@ class UVHandDETR(nn.Module):
                 m = jnp.zeros((B,) + f.shape[1:3], bool)
                 srcs.append(self._feature_mask(self.input_projs[l](f), train))
                 masks.append(m)
-                poses.append(sine_position_encoding(m, self.d_model // 2))
+                poses.append(self._posenc(m))
 
         dn_meta = None
         dn_kwargs = {}
