@@ -5,6 +5,7 @@ compiles via Mosaic on TPU (verified separately on hardware).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -113,3 +114,32 @@ def test_pallas_bf16(rng):
         ).astype(jnp.float32)
     )
     np.testing.assert_allclose(b16, f32, atol=3e-3)
+
+
+@pytest.mark.parametrize("d", [30, 71])
+def test_pallas_odd_channels(rng, d):
+    """Non-lane-aligned head dims (the reference gradchecks channels
+    {30,32,64,71,...}, models/ops/test.py:63-89)."""
+    shapes = ((6, 4), (3, 2))
+    value, loc, attn = make_inputs(rng, b=2, lq=5, m=2, d=d, shapes=shapes)
+    ours = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        impl="pallas"))
+    ref = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+        impl="xla"))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    g = rng.standard_normal(ours.shape).astype(np.float32)
+
+    def loss(impl):
+        def f(v, l, a):
+            return jnp.sum(ms_deform_attn(v, shapes, l, a, impl=impl) * jnp.asarray(g))
+        return f
+
+    args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    g1 = jax.grad(loss("pallas"), argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1, 2))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -105,8 +105,10 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
-                v_ref, out_ref, acc_ref):
-    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+                v_ref, out_ref, w_ref):
+    # build the full (Qt, S_pad) weight plane in VMEM scratch, then contract
+    # with the whole value slab in ONE MXU dot (the per-level dot+accumulate
+    # variant scheduled worse — same finding as the backward's K3 change)
     for l, (off, seg) in enumerate(plan):
         sy = sy_ref[:, off : off + seg]  # (1, seg)
         sx = sx_ref[:, off : off + seg]
@@ -121,12 +123,11 @@ def _fwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
             )  # (Qt, seg)
             term = aw * hat
             w = term if w is None else w + term
-        v_l = v_ref[0, off : off + seg, :]  # (seg, D)
-        acc_ref[...] += jnp.dot(
-            w.astype(vdt), v_l, preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+        w_ref[:, off : off + seg] = w.astype(w_ref.dtype)
+    out_ref[0] = jnp.dot(
+        w_ref[...], v_ref[0], preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
@@ -257,7 +258,7 @@ def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
             (1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Qt, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp)
