@@ -70,3 +70,22 @@ def test_device_prefetch(root, world):
         assert hasattr(batch["images"], "devices")  # on device
         n += 1
     assert n == len(dl)
+
+
+def test_mini_split_downsample(root, world):
+    """mini/tiny splits deterministically subsample
+    (dataset_utils.py:102-165)."""
+    import numpy as np
+    from uvhand_tpu.data import arctic
+
+    _, _, _, kp3d_cano = world
+    full = arctic.ArcticDataset(root, "p1", "train", kp3d_cano=kp3d_cano)
+    # fixture is tiny, so minitrain caps at len(full) and subsampling is
+    # exercised via a fabricated longer list
+    names = [f"a/b/s01/seq/0/{i:05d}.jpg" for i in range(1000)]
+    sub = arctic.downsample(names, "minitrain")
+    assert len(sub) == 300
+    assert sub == arctic.downsample(names, "minitrain")  # deterministic
+    assert arctic.downsample(names, "train") == names
+    mini = arctic.ArcticDataset(root, "p1", "minitrain", kp3d_cano=kp3d_cano)
+    assert len(mini) <= len(full)

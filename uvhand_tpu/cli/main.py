@@ -134,8 +134,13 @@ def get_args_parser():
     p.add_argument("--window_size", default=1, type=int)
     p.add_argument("--split_window", action="store_true",
                    help="arctic_lstm: per-frame targets (default: center-frame only)")
-    p.add_argument("--trainsplit", default="train")
-    p.add_argument("--valsplit", default="val")
+    p.add_argument("--trainsplit", default="train",
+                   choices=["train", "smalltrain", "tinytrain", "minitrain"])
+    p.add_argument("--valsplit", default="val",
+                   choices=["val", "smallval", "tinyval", "minival",
+                            "test", "smalltest", "tinytest", "minitest"])
+    p.add_argument("-f", "--fast_dev_run", action="store_true",
+                   help="mini splits, batch 8, window 3 (parser.py:82-88)")
     p.add_argument("--img_res", default=224, type=int)
     p.add_argument("--focal_length", default=1000.0, type=float)
     p.add_argument("--speedup", action="store_true", default=True)
@@ -249,6 +254,13 @@ def main(args):
             json.dump(vars(args), f, indent=2, default=str)
     with open(os.path.join(args.output_dir, "running_cmd.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)  # save_cmd equivalent
+
+    if getattr(args, "fast_dev_run", False):
+        # parser.py:82-88 fast_dev_run overrides
+        args.batch_size = 8
+        args.trainsplit = "minitrain"
+        args.valsplit = "minival"
+        args.window_size = 3
 
     np.random.seed(args.seed)
     # rbg PRNG: threefry bit-gen for dropout/feature-mask costs ~50% of a

@@ -49,6 +49,26 @@ def transform_kp2d_crop(kp2d, bbox):
     return out
 
 
+SUBSET_SIZES = {
+    # dataset_utils.py:102-133 mini/tiny/small split sizes
+    "smalltrain": 100000, "tinytrain": 12000, "minitrain": 300,
+    "smallval": 12000, "tinyval": 500, "minival": 80,
+    "smalltest": 12000, "tinytest": 500, "minitest": 80,
+}
+
+
+def downsample(imgnames, split):
+    """Deterministic subset for mini/tiny/small splits
+    (dataset_utils.py:153-165: random.seed(1) + random.sample)."""
+    if "small" not in split and "mini" not in split and "tiny" not in split:
+        return imgnames
+    import random
+
+    rng = random.Random(1)
+    n = min(SUBSET_SIZES.get(split, len(imgnames)), len(imgnames))
+    return rng.sample(imgnames, n)
+
+
 class ArcticDataset:
     def __init__(
         self,
@@ -87,7 +107,7 @@ class ArcticDataset:
             op.join(root, f"splits/{setup}_{short}.npy"), allow_pickle=True
         ).item()
         self.data = data["data_dict"]
-        self.imgnames = list(data["imgnames"])
+        self.imgnames = downsample(list(data["imgnames"]), split)
         if seq is not None:
             # single-sequence filter; augmentation off under it
             # (arctic_dataset.py:424-438)
