@@ -567,6 +567,10 @@ def run_coco(args, rng):
 T_COCO = 3  # left / right / object slots
 
 
-if __name__ == "__main__":
+def cli_entry():
     parser = argparse.ArgumentParser("uvhand_tpu driver", parents=[get_args_parser()])
     main(parser.parse_args())
+
+
+if __name__ == "__main__":
+    cli_entry()

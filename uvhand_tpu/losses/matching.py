@@ -42,8 +42,19 @@ def hungarian_small(cost: jnp.ndarray, target_valid: jnp.ndarray) -> jnp.ndarray
     # without influencing the optimum for the valid ones.
     cost = jnp.where(target_valid[None, :], cost, 0.0)
 
-    negc, cand_q = jax.lax.top_k(-cost.T, min(T, Q))  # (T, T) per-column best
-    cand_c = -negc
+    # top-T per column via T masked argmins: lax.top_k lowers to a full
+    # per-column SORT on TPU (~0.4 ms/step at (6,16,3,300)); T argmin
+    # passes are much cheaper for T=3
+    costT = cost.T  # (T, Q)
+    work = costT
+    qs_list, cs_list = [], []
+    for _ in range(min(T, Q)):
+        qi = jnp.argmin(work, axis=1)  # (T,)
+        qs_list.append(qi)
+        cs_list.append(jnp.take_along_axis(costT, qi[:, None], 1)[:, 0])
+        work = work.at[jnp.arange(T), qi].set(BIG)
+    cand_q = jnp.stack(qs_list, 1)  # (T, T)
+    cand_c = jnp.stack(cs_list, 1)
 
     combos = np.stack(
         np.meshgrid(*([np.arange(min(T, Q))] * T), indexing="ij"), -1
