@@ -2,7 +2,8 @@
 
 Catches silent numeric drift across refactors in: MSDA fwd/bwd, the full
 DETR forward (transformer), the criterion's per-term loss dict, raw-target
-preprocessing (process_targets), MANO forward and AIK.
+preprocessing (process_targets), MANO forward, AIK, the SmoothNet temporal
+stack, and the Assembly 2.5D model.
 
 Values live in `tests/golden_values.json`, captured on the CI configuration
 (CPU backend, fixed seeds). Tolerance is 2e-4 relative — loose enough for
@@ -131,6 +132,40 @@ def _checksums():
     for k in ("mano.v3d.cam.r", "mano.v3d.cam.l", "object.v.cam",
               "mano.cam_t.r", "dist.ro"):
         out[f"process.{k}"] = float(jnp.sum(proc[k]))
+
+    # --- temporal smoother (SmoothNet stack) --------------------------------
+    from uvhand_tpu.models.temporal.smoothnet import ArcticSmoother
+
+    T = 8
+    r3 = np.random.default_rng(9)
+    sel = {
+        "root.l": jnp.asarray(r3.normal(size=(2 * T, 3)), jnp.float32),
+        "root.r": jnp.asarray(r3.normal(size=(2 * T, 3)), jnp.float32),
+        "root.o": jnp.asarray(r3.normal(size=(2 * T, 3)), jnp.float32),
+        "pose.l": jnp.asarray(r3.normal(size=(2 * T, 48)), jnp.float32),
+        "pose.r": jnp.asarray(r3.normal(size=(2 * T, 48)), jnp.float32),
+        "beta.l": jnp.asarray(r3.normal(size=(2 * T, 10)), jnp.float32),
+        "beta.r": jnp.asarray(r3.normal(size=(2 * T, 10)), jnp.float32),
+        "obj_rot": jnp.asarray(r3.normal(size=(2 * T, 3)), jnp.float32),
+        "obj_rad": jnp.asarray(r3.normal(size=(2 * T,)), jnp.float32),
+    }
+    sm = ArcticSmoother(T)
+    smp = sm.init({"params": jax.random.PRNGKey(2)}, sel)
+    smo = sm.apply(smp, sel)
+    for k in ("root.r", "pose.l", "obj_rad"):
+        out[f"smoothnet.{k}_sum"] = float(jnp.sum(smo[k]))
+
+    # --- Assembly 2.5D model forward ----------------------------------------
+    from uvhand_tpu.models.assembly import AssemblyDETR
+
+    am = AssemblyDETR(num_classes=12, num_encoder_layers=1,
+                      num_decoder_layers=1, d_model=64)
+    aimgs = jnp.asarray(np.random.default_rng(13).normal(size=(2, 64, 64, 3)),
+                        jnp.float32)
+    ap = am.init(jax.random.PRNGKey(3), aimgs)
+    aout = am.apply(ap, aimgs)
+    out["assembly.pred_logits_sum"] = float(jnp.sum(aout["stacked"]["pred_logits"]))
+    out["assembly.pred_keypoints_sum"] = float(jnp.sum(aout["stacked"]["pred_keypoints"]))
 
     # --- full DETR forward (transformer + heads, deterministic) ------------
     from uvhand_tpu.models.detr import UVHandDETR
