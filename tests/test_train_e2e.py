@@ -71,3 +71,40 @@ def test_train_step_sharded_8dev():
     # params stayed replicated and updated
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_full_pipeline_loss_decreases():
+    """Fixed batch from the DISK-BACKED pipeline (not hand-built targets)
+    must train: guards the dataset->process_targets->criterion scales.
+    (The synthetic fixture projects its 2D GT from the 3D GT so camera
+    fits are well-posed; with inconsistent 2D this loss sat at ~4e9.)"""
+    import tempfile
+
+    from uvhand_tpu import engine
+    from uvhand_tpu.data import arctic, loader
+    from uvhand_tpu.geometry import mano as mano_lib, objects
+    from uvhand_tpu.models.detr import UVHandDETR
+
+    root = tempfile.mkdtemp()
+    arctic.make_synthetic_root(root, num_seqs=1, frames=4, views=1)
+    bank = objects.synthetic_object_bank(2)
+    mano_r = mano_lib.synthetic_mano(0, True)
+    mano_l = mano_lib.synthetic_mano(1, False)
+    ds = arctic.ArcticDataset(root, "p1", "train",
+                              kp3d_cano=np.asarray(bank.kp_bottom))
+    model = UVHandDETR(num_queries=12, num_encoder_layers=1,
+                       num_decoder_layers=1, d_model=64, dim_feedforward=64,
+                       n_heads=4, dropout=0.0, feature_mask_ratio=0.0)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 224, 224, 3)))
+    state = create_train_state(model, params, lr=1e-4)
+    step = engine.make_fused_train_step(model, mano_r, mano_l, bank)
+    dl = loader.DataLoader(ds, 2, shuffle=False)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(dl)).items()}
+    losses = []
+    for i in range(12):
+        state, ld = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(ld["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[0] < 1e6, f"degenerate loss scale: {losses[0]}"
+    assert losses[-1] < losses[0], losses

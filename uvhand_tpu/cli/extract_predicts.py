@@ -111,16 +111,39 @@ def save_results(out_cam: Dict[str, Dict], out_dir: str):
                 torch.save(val, out_p)
 
 
+def load_protocol_seqs(coco_path: str, dataset_file: str, setup: str,
+                       run_on: str = "val"):
+    """Sequence list from `splits_json/protocol_{setup}.json[run_on]`
+    (extract_predicts.py:71-77); None when the protocol file is absent
+    (synthetic fixtures) — then every sequence is processed."""
+    import json as _json
+    import os.path as _op
+
+    for cand in (
+        _op.join(coco_path, dataset_file,
+                 f"data/arctic_data/data/splits_json/protocol_{setup}.json"),
+        _op.join(coco_path, dataset_file, f"splits_json/protocol_{setup}.json"),
+    ):
+        if _op.exists(cand):
+            with open(cand) as f:
+                return _json.load(f)[run_on]
+    return None
+
+
 def run_extraction(model, params, dataset, batch_size, out_dir, img_res=224.0,
-                   eval_step_apply=None):
+                   eval_step_apply=None, seqs=None):
     """Per-sequence loop (extract_predicts.py:99-130): group the dataset's
-    imgnames by sequence, run inference, export."""
+    imgnames by sequence (restricted to the protocol `seqs` when given),
+    run inference, export."""
     import jax
     import jax.numpy as jnp
 
     groups: Dict[str, List[int]] = {}
     for i, n in enumerate(dataset.imgnames):
         sid, seq_name, _, _ = n.split("/")[-4:]
+        if seqs is not None and (seq_name not in seqs
+                                 and f"{sid}/{seq_name}" not in seqs):
+            continue
         groups.setdefault(f"{sid}/{seq_name}", []).append(i)
 
     from ..data.loader import prefetch_samples

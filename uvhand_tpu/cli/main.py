@@ -374,11 +374,13 @@ def main(args):
         return
 
     if args.extraction_mode:
-        from .extract_predicts import run_extraction
+        from .extract_predicts import load_protocol_seqs, run_extraction
 
+        seqs = load_protocol_seqs(args.coco_path, args.dataset_file, args.setup)
         out = run_extraction(
             model, {"params": state.params}, ds_val, args.val_batch_size,
             os.path.join(args.output_dir, "submission"), float(args.img_res),
+            seqs=seqs,
         )
         print(f"submission written to {out}")
         return

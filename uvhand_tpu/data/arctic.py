@@ -548,13 +548,29 @@ def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: in
         seq_name = f"{obj}_use_{s:02d}"
         F, V = frames, views
         mk = lambda *shape: rng.normal(size=shape).astype(np.float32)
-        j2d = lambda *shape: rng.uniform(100, 500, size=shape).astype(np.float32)
+        jr_3d = mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+        jl_3d = mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+        bb_3d = mk(F, V, 16, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+        kp_3d = mk(F, V, 32, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+
+        def project(p3d):
+            # 2D keypoints are real projections of the 3D GT (view 0 uses the
+            # ego K, others the rig K — matching the loader's selection) so
+            # the dataset's camera fits are well-posed, like real ARCTIC data
+            out = np.zeros(p3d.shape[:-1] + (2,), np.float32)
+            for v in range(V):
+                f_ = 600.0 if v == 0 else 1000.0
+                c = np.array([420.0, 300.0])
+                xy = p3d[:, v, :, :2] / p3d[:, v, :, 2:3]
+                out[:, v] = (xy * f_ + c).astype(np.float32)
+            return out
+
         data_dict[f"{sid}/{seq_name}"] = {
             "cam_coord": {
-                "joints.right": mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
-                "joints.left": mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
-                "bbox3d": mk(F, V, 16, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
-                "kp3d": mk(F, V, 32, 3) * 0.1 + np.array([0, 0, 0.6], np.float32),
+                "joints.right": jr_3d,
+                "joints.left": jl_3d,
+                "bbox3d": bb_3d,
+                "kp3d": kp_3d,
                 "rot_r_cam": mk(F, V, 3) * 0.3,
                 "rot_l_cam": mk(F, V, 3) * 0.3,
                 "is_valid": np.ones((F, V), np.float32),
@@ -562,10 +578,10 @@ def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: in
                 "left_valid": np.ones((F, V), np.int64),
             },
             "2d": {
-                "joints.right": j2d(F, V, 21, 2),
-                "joints.left": j2d(F, V, 21, 2),
-                "bbox3d": j2d(F, V, 16, 2),
-                "kp3d": j2d(F, V, 32, 2),
+                "joints.right": project(jr_3d),
+                "joints.left": project(jl_3d),
+                "bbox3d": project(bb_3d),
+                "kp3d": project(kp_3d),
             },
             "bbox": np.concatenate(
                 [
