@@ -449,6 +449,9 @@ def main(args):
             save_results(args.output_dir, -1, score_dict=scores, header=hdr)
         return
 
+    from ..utils.logging import WandbLogger, save_results
+
+    wb = WandbLogger(args.wandb, config=vars(args))
     for epoch in range(args.start_epoch, args.epochs):
         t0 = time.time()
         state, stats = engine.train_one_epoch(
@@ -459,11 +462,11 @@ def main(args):
             ckpt.save_checkpoint(args.output_dir, epoch, state, extra={"epoch": epoch})
         scores = engine.evaluate(state.params, eval_step, dl_val,
                                  sharding=sharding, max_steps=max_steps)
-        from ..utils.logging import save_results
-
         save_results(args.output_dir, epoch, loss_dict=stats, score_dict=scores)
+        wb.log({**stats, **scores}, step=epoch)  # util/tools.py:643
         print(f"epoch {epoch}: {time.time()-t0:.1f}s train_loss={stats.get('loss'):.4f} "
               + json.dumps(scores))
+    wb.finish()
 
 
 def run_coco(args, rng):
