@@ -89,3 +89,16 @@ def test_coco_cli_train_smoke(tmp_path, monkeypatch):
     args = get_args_parser().parse_args(argv + ["--eval"])
     scores = main(args)
     assert scores and all(np.isfinite(v) for v in scores.values())
+
+
+def test_cache_mode_consistency(tmp_path):
+    """--cache_mode returns identical samples without re-decoding."""
+    root = str(tmp_path / "h2o_cache")
+    coco_hands.make_synthetic_coco_root(root, n_images=2)
+    plain = coco_hands.CocoHandsDataset(root, "val", img_res=64)
+    cached = coco_hands.CocoHandsDataset(root, "val", img_res=64, cache_mode=True)
+    a, b = plain[0], cached[0]
+    np.testing.assert_allclose(a["images"], b["images"])
+    c = cached[0]  # second read comes from the cache
+    np.testing.assert_allclose(b["images"], c["images"])
+    assert 0 in cached._img_cache

