@@ -400,6 +400,11 @@ def main(args):
         outputs = model.apply({"params": state.params}, first["images"], train=False)
         sel = select_queries({k: v[-1] for k, v in outputs["stacked"].items()})
         sm_state = sd.create_smoother_state(smoother, sel, lr=args.lr)
+        if args.smooth_resume:
+            # resume the smoother separately from the base model
+            # (util/scripts.py:44-45)
+            sm_state = ckpt.load_checkpoint(args.smooth_resume, sm_state)
+            print(f"smoother resumed from {args.smooth_resume}")
         step_sm = sd.make_smoothnet_train_step(
             model, state.params, smoother, mano_r, mano_l, bank, float(args.img_res)
         )
