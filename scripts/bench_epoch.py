@@ -27,7 +27,21 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument("--workers_mode", default="thread",
+                    choices=["thread", "process"])
+    ap.add_argument("--host_only", action="store_true",
+                    help="measure the host pipeline alone (no device step); "
+                         "runs on any backend")
+    ap.add_argument("--scan_workers", default="",
+                    help="comma list, e.g. 1,2,4,8: print a host-pipeline "
+                         "throughput table over worker counts x both modes")
     args = ap.parse_args()
+
+    if args.scan_workers or args.host_only:
+        # host-pipeline-only runs must not grab (or wait on) the TPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from uvhand_tpu.utils.cache import enable_compilation_cache
 
@@ -58,6 +72,39 @@ def main():
                               kp3d_cano=np.asarray(bank.kp_bottom))
     n_frames = min(len(ds), args.frames)
 
+    if args.scan_workers or args.host_only:
+        # host pipeline alone: decode + aug + GT assembly + collate
+        def host_fps(workers, mode):
+            dl = DataLoader(ds, args.batch, seed=0, num_workers=workers,
+                            workers_mode=mode)
+            n_steps = n_frames // args.batch
+            it = iter(dl)
+            next(it)  # warm (page cache, pool spin-up)
+            t0 = time.perf_counter()
+            done = 1
+            for b in it:
+                done += 1
+                if done >= n_steps:
+                    break
+            return (done - 1) * args.batch / (time.perf_counter() - t0)
+
+        if args.scan_workers:
+            rows = []
+            for mode in ("thread", "process"):
+                for w in [int(x) for x in args.scan_workers.split(",")]:
+                    fps = host_fps(w, mode)
+                    rows.append({"mode": mode, "workers": w,
+                                 "host_frames_per_sec": round(fps, 2)})
+                    print(json.dumps(rows[-1]))
+        else:
+            fps = host_fps(args.workers, args.workers_mode)
+            print(json.dumps({
+                "metric": "host_pipeline_frames_per_sec",
+                "value": round(fps, 2), "unit": "frames/s",
+                "workers": args.workers, "mode": args.workers_mode,
+            }))
+        return
+
     model = UVHandDETR(
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     imgs = jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -65,7 +112,8 @@ def main():
     state = create_train_state(model, params, lr=2e-4)
     step = engine.make_fused_train_step(model, mano_r, mano_l, bank)
 
-    dl = DataLoader(ds, args.batch, seed=0, num_workers=args.workers)
+    dl = DataLoader(ds, args.batch, seed=0, num_workers=args.workers,
+                    workers_mode=args.workers_mode)
     n_steps = n_frames // args.batch
 
     # warmup: compile + one data pass

@@ -8,7 +8,6 @@ import pytest
 from uvhand_tpu.geometry import mano, objects
 from uvhand_tpu.models.detr import UVHandDETR
 from uvhand_tpu.train.state import create_train_state
-from uvhand_tpu.train.step import make_train_step
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

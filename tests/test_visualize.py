@@ -55,3 +55,35 @@ def test_save_eval_visualizations(tmp_path):
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     objs = [f for f in os.listdir(out) if f.endswith(".obj")]
     assert len(pngs) == 4 and len(objs) >= 3
+
+
+def test_zbuffer_mesh_render_occlusion():
+    """Software rasterizer: front triangle wins the z-test, overlay lands
+    only where geometry projects, Lambert shading stays in range."""
+    import numpy as np
+    from uvhand_tpu.evaluation.visualize import render_mesh_overlay
+
+    img = np.zeros((224, 224, 3), np.float32)  # normalized-space black
+    K = np.array([[1000.0, 0, 112], [0, 1000.0, 112], [0, 0, 1]], np.float32)
+
+    def quad(z, half, color):
+        v = np.array([
+            [-half, -half, z], [half, -half, z],
+            [half, half, z], [-half, half, z],
+        ], np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        return (v, f, color)
+
+    near = quad(0.5, 0.02, (255, 0, 0))    # small red, near
+    far = quad(1.0, 0.08, (0, 0, 255))     # large blue, far
+    out = render_mesh_overlay(img, [far, near], K, alpha=1.0)
+
+    c = out[112, 112]  # center: near red quad must occlude the far blue one
+    assert c[0] > 60 and c[2] == 0, c
+    edge = out[112, 112 + 60]  # inside blue quad (80px half at z=1), not red
+    assert edge[2] > 60 and edge[0] == 0, edge
+    corner = out[5, 5]  # outside both: untouched background (the
+    # normalized-zero input denormalizes to the ImageNet mean color)
+    from uvhand_tpu.evaluation.visualize import denormalize_image
+    bg = denormalize_image(np.zeros((1, 1, 3), np.float32))[0, 0]
+    assert (corner == bg).all(), (corner, bg)

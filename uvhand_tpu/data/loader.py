@@ -1,23 +1,41 @@
-"""Data loading: threaded host workers + double-buffered device prefetch.
+"""Data loading: threaded or forked host workers + double-buffered device
+prefetch.
 
 Replaces the reference's torch DataLoader + CUDA-stream prefetcher
 (`/root/reference/datasets/arctic_prefetcher.py:10-110`,
-`util/settings.py:589-624`): cv2/numpy decode+augment runs in a thread pool
-(cv2 releases the GIL), finished batches are `jax.device_put` one step ahead
-so H2D overlaps compute. Sharding-aware: pass a NamedSharding to place each
-batch directly over the mesh data axis.
+`util/settings.py:589-624`): cv2/numpy decode+augment runs in a worker pool,
+finished batches are `jax.device_put` one step ahead so H2D overlaps
+compute. Sharding-aware: pass a NamedSharding to place each batch directly
+over the mesh data axis.
+
+Worker modes:
+  - "thread" (default): cv2 releases the GIL during imread/warp, so threads
+    scale on the decode-heavy path with zero IPC cost,
+  - "process": fork-based ProcessPoolExecutor for python-bound __getitem__
+    work (the torch-DataLoader-workers equivalent). The dataset is shared
+    with children copy-on-write via a module registry — nothing is pickled
+    per task except the integer index and the returned sample.
 """
 
 from __future__ import annotations
 
 import collections
+import multiprocessing
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
 from .arctic import collate
+
+#: fork-inherited dataset registry for process workers (copy-on-write)
+_FORK_DATASETS: dict = {}
+
+
+def _process_getitem(args):
+    key, idx = args
+    return _FORK_DATASETS[key][idx]
 
 
 class DataLoader:
@@ -32,6 +50,7 @@ class DataLoader:
         num_workers: int = 8,
         seed: int = 0,
         collate_fn: Callable = collate,
+        workers_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,12 +58,28 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.collate_fn = collate_fn
+        self.workers_mode = workers_mode
         # two pools: batch orchestration and per-sample work. A single pool
         # deadlocks — fetch() runs IN the pool and would block on map() into
         # the same saturated pool.
         self.batch_pool = ThreadPoolExecutor(max_workers=2)
-        self.sample_pool = ThreadPoolExecutor(max_workers=num_workers)
+        if workers_mode == "process":
+            self._ds_key = id(dataset)
+            _FORK_DATASETS[self._ds_key] = dataset
+            self.sample_pool = ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+            )
+        else:
+            self.sample_pool = ThreadPoolExecutor(max_workers=num_workers)
         self.epoch = 0
+
+    def _get_samples(self, batch_ids):
+        if self.workers_mode == "process":
+            return list(self.sample_pool.map(
+                _process_getitem, [(self._ds_key, int(i)) for i in batch_ids]
+            ))
+        return list(self.sample_pool.map(self.dataset.__getitem__, batch_ids))
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -63,8 +98,7 @@ class DataLoader:
         futures = collections.deque()
 
         def fetch(batch_ids):
-            samples = list(self.sample_pool.map(self.dataset.__getitem__, batch_ids))
-            return self.collate_fn(samples)
+            return self.collate_fn(self._get_samples(batch_ids))
 
         submit = 0
         for b in range(nb):

@@ -63,7 +63,7 @@ class AssemblyTransformer(nn.Module):
         self.key_heads = [MLP(self.d_model, 63, 3, name=f"key{i}") for i in range(num_pred)]
         self.obj_key_heads = [MLP(self.d_model, 63, 3, name=f"okey{i}") for i in range(num_pred)]
         self.enc_output = nn.Dense(self.d_model, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
         self.query_embed = self.param(
             "query_embed", nn.initializers.normal(1.0), (3, 2 * self.d_model)
         )

@@ -48,7 +48,7 @@ class InputProj(nn.Module):
                 self.d_model, (1, 1),
                 kernel_init=nn.initializers.xavier_uniform(), name="conv",
             )(x)
-        return nn.GroupNorm(num_groups=32, name="gn")(x)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
 
 
 class UVHandDETR(nn.Module):

@@ -23,8 +23,10 @@ def sine_position_encoding(
     not_mask = (~mask).astype(jnp.float32)
     y_embed = jnp.cumsum(not_mask, axis=1)
     x_embed = jnp.cumsum(not_mask, axis=2)
-    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
-    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    # the reference shifts by -0.5 before normalizing (cell centers,
+    # position_encoding.py:45-46) — caught by tests/test_reference_parity.py
+    y_embed = (y_embed - 0.5) / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = (x_embed - 0.5) / (x_embed[:, :, -1:] + eps) * scale
 
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)

@@ -76,12 +76,12 @@ class EncoderLayer(nn.Module):
             q, reference_points, src, spatial_shapes, padding_mask
         )
         src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ff = nn.Dense(self.d_ffn, dtype=dt, name="linear1")(src)
         ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
         ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(ff).astype(jnp.float32)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -109,7 +109,7 @@ class DecoderLayer(nn.Module):
             mask=None if self_attn_mask is None else ~self_attn_mask[None, None],
         )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
 
         tgt2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                             compute_dtype=dt, name="cross_attn")(
@@ -120,13 +120,13 @@ class DecoderLayer(nn.Module):
             src_padding_mask,
         )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(tgt2)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
 
         ff = nn.Dense(self.d_ffn, dtype=dt, name="linear1")(tgt)
         ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
         ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(ff).astype(jnp.float32)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
 
 
 def encoder_reference_points(spatial_shapes, valid_ratios):
@@ -257,11 +257,11 @@ class DeformableTransformer(nn.Module):
 
         if self.two_stage:
             self.enc_output = nn.Dense(self.d_model, name="enc_output")
-            self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+            self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
             self.pos_trans1 = nn.Dense(1024, name="pos_trans1")
             self.pos_trans2 = nn.Dense(1024, name="pos_trans2")
             self.pos_trans3 = nn.Dense(2 * self.d_model, name="pos_trans3")
-            self.pos_trans_norm = nn.LayerNorm(name="pos_trans_norm")
+            self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")
             if self.two_stage_learn_xy:
                 # Embedding(1, 40), init logit(0.05) (arctic_transformer.py:88-89)
                 self.learn_xy = self.param(

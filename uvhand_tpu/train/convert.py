@@ -145,13 +145,22 @@ def convert_reference_detr(
         _norm(params, t + ("pos_trans_norm",), sd, "transformer.pos_trans_norm")
         _put(params, t + ("two_stage_learn_xy",),
              _np(sd["transformer.two_stage_learn_xy.weight"]).reshape(-1))
-    elif "query_embed.weight" in sd:
-        _put(params, ("query_embed",), _np(sd["query_embed.weight"]))
+    else:
+        if "query_embed.weight" in sd:
+            _put(params, ("query_embed",), _np(sd["query_embed.weight"]))
+        # learned 2-d reference-point head (arctic_transformer.py:66)
+        if "transformer.reference_points.weight" in sd:
+            _linear(params, t + ("reference_points",), sd,
+                    "transformer.reference_points")
 
     # per-layer heads (box refine clones); with two_stage the extra clone
-    # (index num_decoder_layers) is the encoder-output head
+    # (index num_decoder_layers) is the encoder-output head. Without box
+    # refine the reference registers ONE shared class head N times
+    # (actic_detr.py:155) -> our cls_head_shared.
     num_pred = num_decoder_layers + 1 if two_stage else num_decoder_layers
-    for i in range(num_pred):
+    if not two_stage and "cls_embed.0.weight" in sd:
+        _linear(params, t + ("cls_head_shared",), sd, "cls_embed.0")
+    for i in range(num_pred if two_stage else 0):
         if f"cls_embed.{i}.weight" in sd:
             _linear(params, t + (f"cls_head{i}",), sd, f"cls_embed.{i}")
         for head, dst in (("key_embed", "key_head"), ("obj_key_embed", "obj_key_head")):
