@@ -137,7 +137,15 @@ def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
     def red(x):
-        return jnp.sum(x, axis=1, keepdims=True)
+        # token-axis reduction as an MXU dot against ones: offloads the 48
+        # per-point column reductions from the VPU (the kernel's bottleneck
+        # unit) to the otherwise idle MXU — measured -1.0 ms/call on the
+        # enc-layer bwd (round-3 ablation, scripts/bench_msda_ablation.py)
+        return jax.lax.dot_general(
+            x, jnp.ones((x.shape[1], 8), jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1]
 
     g = g_ref[0]  # (Qt, D)
     # one MXU dot over the whole padded token axis: G[q, s] = sum_d g V
