@@ -77,6 +77,32 @@ def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
     center-frame training (`center_index` present) has no per-input-frame
     targets, so dn is skipped there like the reference's tempo path.
     """
+    loss_fn = make_loss_fn(
+        model, mano_r, mano_l, obj_bank, img_res=img_res, weights=weights,
+        two_stage=two_stage, cost_class=cost_class,
+        cost_keypoint=cost_keypoint, preprocess=preprocess,
+    )
+
+    # NOTE: no donation — flax TrainState + multi_transform opt state contains
+    # aliased leaves on this jax version; donation deletes them once and the
+    # second reference trips "Array has been deleted".
+    def step(state, batch, rng):
+        (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        new_state = state.apply_gradients(grads=grads)
+        ld["grad_norm"] = global_norm(grads)
+        return new_state, ld
+
+    return jax.jit(step) if jit else step
+
+
+def make_loss_fn(model, mano_r, mano_l, obj_bank, img_res=224.0,
+                 weights=None, two_stage=True, cost_class=2.0,
+                 cost_keypoint=5.0, preprocess=True):
+    """(params, batch, rng) -> (total, loss_dict) — the training objective
+    shared by the fused step and the sharding validators
+    (scripts/aot_multichip.py wraps it in a dp-manual shard_map)."""
     use_dn = bool(getattr(model, "use_dn", False))
 
     def loss_fn(params, batch, rng):
@@ -109,18 +135,7 @@ def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
             cost_class=cost_class, cost_keypoint=cost_keypoint,
         )
 
-    # NOTE: no donation — flax TrainState + multi_transform opt state contains
-    # aliased leaves on this jax version; donation deletes them once and the
-    # second reference trips "Array has been deleted".
-    def step(state, batch, rng):
-        (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
-        new_state = state.apply_gradients(grads=grads)
-        ld["grad_norm"] = global_norm(grads)
-        return new_state, ld
-
-    return jax.jit(step) if jit else step
+    return loss_fn
 
 
 #: per-batch metrics measure_error can compute; sequence-level ones

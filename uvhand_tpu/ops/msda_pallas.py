@@ -93,8 +93,9 @@ def _precision(dtype):
     )
 
 
-# big query tiles need more scoped VMEM than the 16M default (v5e has 128M)
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# big query tiles need more scoped VMEM than the 16M default (v5e has 128M);
+# the fp32 path with the MXU-reduction backward peaks at ~112M scoped
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 
 
 def _interpret() -> bool:
@@ -241,22 +242,49 @@ def _v_spec(S_pad, D):
     return pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
-    B, S, M, D, Lq, P = dims
+def _batch_partition_specs(mesh, arg_shapes, result_shape):
+    """custom_partitioning helper: keep dim-0 (the B*M axis) sharding from
+    the operands, force everything else replicated. Leading-dim-1 operands
+    (the sy/sx grid maps) replicate fully."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_of(x):
+        s = getattr(x.sharding, "spec", None)
+        return s[0] if s is not None and len(s) else None
+
+    batch = next((spec_of(x) for x in arg_shapes
+                  if x.shape[0] != 1 and spec_of(x) is not None), None)
+
+    def arg_sharding(x):
+        if x.shape[0] == 1:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(batch, *([None] * (len(x.shape) - 1))))
+
+    arg_sh = tuple(arg_sharding(x) for x in arg_shapes)
+    res_sh = jax.tree.map(
+        lambda r: NamedSharding(mesh, P(batch, *([None] * (len(r.shape) - 1)))),
+        result_shape,
+    )
+    return arg_sh, res_sh
+
+
+def _fwd_pallas_call(spatial_shapes, P, Lq, out_dtype_name,
+                     pyb, pxb, awb, sy, sx, vp):
+    """Shape-driven pallas_call: grid/specs derive from the (possibly
+    per-shard) operand shapes, so the same callable serves the single-chip
+    path and each SPMD shard."""
     L = len(spatial_shapes)
     LP = L * P
-    _, _, _, S_pad = _level_plan(spatial_shapes)
-    Lq_pad = pyb.shape[1]
+    _, seg, offs, S_pad = _level_plan(spatial_shapes)
+    BM, Lq_pad, _ = pyb.shape
+    D = vp.shape[2]
     Qt = min(Q_TILE, _round_up(Lq, 8))
-    sy_np, sx_np = _grid_maps(spatial_shapes)
-    _, seg, offs, _ = _level_plan(spatial_shapes)
     kernel = functools.partial(
-        _fwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype),
-        vp.dtype,
+        _fwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype), vp.dtype,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(B * M, Lq_pad // Qt),
+        grid=(BM, Lq_pad // Qt),
         in_specs=[
             _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
             _const_spec(S_pad), _const_spec(S_pad),
@@ -265,13 +293,119 @@ def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
         out_specs=pl.BlockSpec(
             (1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((BM, Lq_pad, D), jnp.dtype(out_dtype_name)),
         scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp)
+    )(pyb, pxb, awb, sy, sx, vp)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(spatial_shapes, P, Lq, out_dtype_name):
+    """Mosaic kernels can't be auto-partitioned by the SPMD partitioner (a
+    jit with dp/mp-sharded inputs on a multi-chip TPU fails to compile, as
+    caught by scripts/aot_multichip.py on a v5e:2x4 topology). Declare the
+    obvious rule: the pallas call is independent per B*M row — shard dim 0,
+    replicate the rest, run the same kernel per shard."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    raw = functools.partial(_fwd_pallas_call, spatial_shapes, P, Lq,
+                            out_dtype_name)
+
+    @custom_partitioning
+    def call(pyb, pxb, awb, sy, sx, vp):
+        return raw(pyb, pxb, awb, sy, sx, vp)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh = _batch_partition_specs(mesh, arg_shapes, result_shape)
+        return mesh, raw, res_sh, arg_sh
+
+    def infer(mesh, arg_shapes, shape):
+        _, res_sh = _batch_partition_specs(mesh, arg_shapes, shape)
+        return res_sh
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b q k, b q k2, b q k3, o s, o2 s2, b s3 d -> b q d",
+    )
+    return call
+
+
+def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
+    B, S, M, D, Lq, P = dims
+    sy_np, sx_np = _grid_maps(spatial_shapes)
+    out = _fwd_partitioned(spatial_shapes, P, Lq, jnp.dtype(out_dtype).name)(
+        pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp
+    )
     out = out[:, :Lq].reshape(B, M, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
+def _bwd_pallas_call(spatial_shapes, P, Lq, pyb, pxb, awb, sy, sx, vp, gb):
+    L = len(spatial_shapes)
+    LP = L * P
+    _, seg, offs, S_pad = _level_plan(spatial_shapes)
+    BM, Lq_pad, _ = pyb.shape
+    D = vp.shape[2]
+    Qt = min(Q_TILE, _round_up(Lq, 8))
+    kernel = functools.partial(
+        _bwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype), vp.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(BM, Lq_pad // Qt),
+        in_specs=[
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+            _const_spec(S_pad), _const_spec(S_pad),
+            _v_spec(S_pad, D),
+            pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0), memory_space=pltpu.VMEM),
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(pyb, pxb, awb, sy, sx, vp, gb)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(spatial_shapes, P, Lq):
+    """Batch-dim custom partitioning for the backward kernel (see
+    `_fwd_partitioned`)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    raw = functools.partial(_bwd_pallas_call, spatial_shapes, P, Lq)
+
+    @custom_partitioning
+    def call(pyb, pxb, awb, sy, sx, vp, gb):
+        return raw(pyb, pxb, awb, sy, sx, vp, gb)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh = _batch_partition_specs(mesh, arg_shapes, result_shape)
+        return mesh, raw, res_sh, arg_sh
+
+    def infer(mesh, arg_shapes, shape):
+        _, res_sh = _batch_partition_specs(mesh, arg_shapes, shape)
+        return res_sh
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b q k, b q k2, b q k3, o s, o2 s2, b s3 d, b q2 d2 "
+            "-> b s4 d3, b q3 k4, b q4 k5, b q5 k6"
+        ),
+    )
+    return call
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -301,33 +435,9 @@ def _msda_pallas_bwd(spatial_shapes, dims, res, g):
     gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
 
     sy_np, sx_np = _grid_maps(spatial_shapes)
-    kernel = functools.partial(
-        _bwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype),
-        vp.dtype,
+    dv, dpy, dpx, daw = _bwd_partitioned(spatial_shapes, P, Lq)(
+        pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp, gb
     )
-    dv, dpy, dpx, daw = pl.pallas_call(
-        kernel,
-        grid=(B * M, Lq_pad // Qt),
-        in_specs=[
-            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
-            _const_spec(S_pad), _const_spec(S_pad),
-            _v_spec(S_pad, D),
-            pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0), memory_space=pltpu.VMEM),
-            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B * M, S_pad, D), jnp.float32),
-            jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
-            jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
-            jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp, gb)
 
     # dvalue: unpad level segments, restore (B, S, M, D)
     parts = []
