@@ -37,7 +37,7 @@ REFERENCE_FPS_ESTIMATE = 140.0  # frames/s per A100, train step (see docstring)
 BATCH = int(os.environ.get("UVHAND_BENCH_BATCH", 16))
 # UVHAND_BENCH_DTYPE=bfloat16|float32 measures one mode only; default both
 DTYPE = os.environ.get("UVHAND_BENCH_DTYPE", "")
-SCAN_STEPS = 20
+SCAN_STEPS = int(os.environ.get("UVHAND_BENCH_SCAN", 20))
 
 
 def measure(dtype_name: str, batch, world) -> float:
@@ -49,7 +49,11 @@ def measure(dtype_name: str, batch, world) -> float:
     from uvhand_tpu.train.state import create_train_state
 
     mano_r, mano_l, bank = world
-    model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name))  # full arctic_sf
+    # layer remat auto-selected when the activation footprint would exceed
+    # HBM (B=32 dies with a device error without it; PERF.md round 3)
+    remat = os.environ.get("UVHAND_BENCH_REMAT", "")
+    remat = (BATCH >= 24) if remat == "" else remat == "1"
+    model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )

@@ -11,6 +11,9 @@ import time
 
 
 def capture(logdir, batch, steps, bf16=True):
+    """Profile the PRODUCTION program (same builder as bench.py/cli)."""
+    import tempfile
+
     from uvhand_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -20,53 +23,45 @@ def capture(logdir, batch, steps, bf16=True):
     import jax.numpy as jnp
     import numpy as np
 
+    from uvhand_tpu import engine
+    from uvhand_tpu.data import arctic, loader
     from uvhand_tpu.geometry import mano, objects
     from uvhand_tpu.models.detr import UVHandDETR
-    from uvhand_tpu.losses.criterion import arctic_criterion
     from uvhand_tpu.train.state import create_train_state
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from __graft_entry__ import _tiny_targets
 
-    model = UVHandDETR(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
-    imgs = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)), jnp.float32
-    )
-    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, imgs[:1])
-    state = create_train_state(model, params, lr=2e-4)
+    root = tempfile.mkdtemp(prefix="uvhand_prof_")
+    arctic.make_synthetic_root(root, num_seqs=2, frames=(batch + 1) // 2, views=1)
+    bank = objects.synthetic_object_bank(2)
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
-    bank = objects.synthetic_object_bank(2)
-    targets = _tiny_targets(batch)
+    ds = arctic.ArcticDataset(root, "p1", "train",
+                              kp3d_cano=np.asarray(bank.kp_bottom))
+    b = next(iter(loader.DataLoader(ds, batch, shuffle=False, seed=0)))
+    b = {k: jnp.asarray(v) for k, v in b.items()}
 
-    def loss_fn(p, rng, img):
-        outputs = model.apply(
-            {"params": p}, img, train=True,
-            rngs={"dropout": rng, "feature_mask": jax.random.fold_in(rng, 1)},
-        )
-        total, _ = arctic_criterion(outputs, targets, mano_r, mano_l, bank)
-        return total
-
-    @jax.jit
-    def step(st, rng, img):
-        total, grads = jax.value_and_grad(loss_fn)(st.params, rng, img)
-        return st.apply_gradients(grads=grads), total
+    model = UVHandDETR(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                 b["images"][:1])
+    state = create_train_state(model, params, lr=2e-4)
+    step = engine.make_fused_train_step(model, mano_r, mano_l, bank)
 
     rng = jax.random.PRNGKey(0)
-    st, total = step(state, rng, imgs)  # compile + warm
-    jax.block_until_ready(total)
+    st, ld = step(state, b, rng)  # compile + warm
+    jax.block_until_ready(ld["total"])
 
     t0 = time.perf_counter()
     for i in range(steps):
-        st, total = step(st, jax.random.fold_in(rng, i), imgs + 0.001 * i)
-    jax.block_until_ready(total)
+        st, ld = step(st, b, jax.random.fold_in(rng, i))
+    jax.block_until_ready(ld["total"])
     wall = (time.perf_counter() - t0) / steps
     print(f"per-call wall (incl. relay): {wall*1e3:.1f} ms")
 
     with jax.profiler.trace(logdir):
         for i in range(steps):
-            st, total = step(st, jax.random.fold_in(rng, i), imgs + 0.001 * i)
-        jax.block_until_ready(total)
+            st, ld = step(st, b, jax.random.fold_in(rng, i))
+        jax.block_until_ready(ld["total"])
 
 
 def report(logdir, top=40):

@@ -61,3 +61,36 @@ def test_variant_trains(cfg, two_stage):
     assert np.isfinite(float(total))
     gn = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(grads))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_remat_matches_baseline():
+    """`remat=True` must be a pure memory/time tradeoff: identical loss and
+    gradients (same program, activations recomputed in backprop)."""
+    from uvhand_tpu.losses.criterion import arctic_criterion
+
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    bank = objects.synthetic_object_bank(2)
+    targets = _tiny_targets(B)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(B, 64, 64, 3)),
+                       jnp.float32)
+
+    def run(remat):
+        model = UVHandDETR(**COMMON, two_stage=True, with_box_refine=True,
+                           remat=remat)
+        params = model.init({"params": jax.random.PRNGKey(0)}, imgs)
+
+        def loss(p):
+            out = model.apply({"params": p["params"]}, imgs, train=False)
+            return arctic_criterion(out, targets, mano_r, mano_l, bank)[0]
+
+        total, grads = jax.value_and_grad(loss)(params)
+        return float(total), grads
+
+    t0, g0 = run(False)
+    t1, g1 = run(True)
+    assert abs(t0 - t1) < 1e-5 * max(abs(t0), 1)
+    # recompute reorders fp32 reductions; ~1e-4 drift is expected, not a
+    # semantic difference
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree.leaves(diffs)) < 1e-3, max(jax.tree.leaves(diffs))

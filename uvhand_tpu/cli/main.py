@@ -62,6 +62,9 @@ def get_args_parser():
                    help="enable denoising queries (same as --modelname dino)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 transformer compute (params stay fp32)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer layers in backprop "
+                        "(lower HBM, ~15%% slower; needed for batch >= 24)")
     p.add_argument("--visualization", action="store_true",
                    help="eval: dump 2D keypoint overlays instead of metrics"
                         " (settings.py:26, engine.py:740)")
@@ -216,6 +219,7 @@ def build_model(args):
         look_forward_twice=use_dn,
         dn_number=getattr(args, "dn_number", 100),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
+        remat=getattr(args, "remat", False),
         num_queries=args.num_queries,
         d_model=args.hidden_dim,
         n_heads=args.nheads,

@@ -80,6 +80,8 @@ class UVHandDETR(nn.Module):
     position_embedding: str = "sine"
     # bf16 transformer compute (params stay fp32); fp32 default == reference
     compute_dtype: 'jnp.dtype' = jnp.float32
+    # rematerialize transformer layers in backprop (see DeformableTransformer)
+    remat: bool = False
 
     def _posenc(self, mask):
         if self.position_embedding == "learned":
@@ -136,6 +138,7 @@ class UVHandDETR(nn.Module):
             with_box_refine=self.with_box_refine,
             look_forward_twice=self.look_forward_twice,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
             name="transformer",
         )
         if not self.two_stage:

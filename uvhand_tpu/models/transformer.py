@@ -203,10 +203,24 @@ class DeformableTransformer(nn.Module):
     # layer l also trains layer l-1's refinement head
     look_forward_twice: bool = False
     compute_dtype: 'jnp.dtype' = jnp.float32
+    # rematerialize encoder/decoder layers in the backward pass: drops every
+    # layer's activations + the MSDA VJP residual layouts from HBM at the
+    # cost of re-running each layer's forward during backprop. Enables large
+    # batches (B=32 OOMs the device without it) — `jax.checkpoint` is the
+    # TPU-native answer to the reference's torch.utils.checkpoint option
+    # (swin_transformer.py:12,327)
+    remat: bool = False
 
     def setup(self):
+        enc_cls, dec_cls = EncoderLayer, DecoderLayer
+        if self.remat:
+            # static argnums: (self, src, pos, ref, spatial_shapes, mask,
+            # train) — spatial_shapes (4? no: 0 is self) and train are
+            # non-array python values
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(4, 6))
+            dec_cls = nn.remat(DecoderLayer, static_argnums=(5, 7))
         self.enc_layers = [
-            EncoderLayer(
+            enc_cls(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.n_heads, self.enc_n_points,
                 compute_dtype=self.compute_dtype,
@@ -215,7 +229,7 @@ class DeformableTransformer(nn.Module):
             for i in range(self.num_encoder_layers)
         ]
         self.dec_layers = [
-            DecoderLayer(
+            dec_cls(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.n_heads, self.dec_n_points,
                 compute_dtype=self.compute_dtype,
