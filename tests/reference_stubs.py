@@ -150,6 +150,7 @@ def _make_torchvision_stub():
         return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
     tv_boxes.box_area = box_area
+    tv_boxes.nms = lambda *a, **k: None  # imported by dino.py, unused in fwd
     tv_ops.boxes = tv_boxes
     tv.models = tv_models
     tv.ops = tv_ops
@@ -246,6 +247,15 @@ def install_stubs():
         sys.path.append(REF)  # for `util.*`
 
 
+def _spec_fn(core):
+    class _SpecFn:
+        @staticmethod
+        def apply(value, shapes, level_start_index, loc, attn, im2col_step):
+            return core(value.to(value.dtype), shapes, loc, attn)
+
+    return _SpecFn
+
+
 def import_reference_detr():
     """-> (actic_detr module, arctic_transformer module), MSDA patched to the
     pure-torch spec so the model runs on CPU."""
@@ -253,16 +263,29 @@ def import_reference_detr():
     import importlib
 
     func_mod = importlib.import_module("models.ops.functions.ms_deform_attn_func")
-    core = func_mod.ms_deform_attn_core_pytorch
-
-    class _SpecFn:
-        @staticmethod
-        def apply(value, shapes, level_start_index, loc, attn, im2col_step):
-            return core(value.to(value.dtype), shapes, loc, attn)
-
     modules_mod = importlib.import_module("models.ops.modules.ms_deform_attn")
-    modules_mod.MSDeformAttnFunction = _SpecFn
+    modules_mod.MSDeformAttnFunction = _spec_fn(func_mod.ms_deform_attn_core_pytorch)
 
     detr_mod = importlib.import_module("models.actic_detr")
     transformer_mod = importlib.import_module("models.arctic_transformer")
     return detr_mod, transformer_mod
+
+
+def import_reference_dino():
+    """-> (dino module, dino deformable_transformer module); the DINO tree
+    carries its OWN copy of the MSDA extension (`models/dino/ops/`), patched
+    the same way to its pure-torch spec
+    (`models/dino/ops/functions/ms_deform_attn_func.py:43-63`)."""
+    install_stubs()
+    import importlib
+
+    func_mod = importlib.import_module(
+        "models.dino.ops.functions.ms_deform_attn_func")
+    modules_mod = importlib.import_module(
+        "models.dino.ops.modules.ms_deform_attn")
+    modules_mod.MSDeformAttnFunction = _spec_fn(
+        func_mod.ms_deform_attn_core_pytorch)
+
+    dino_mod = importlib.import_module("models.dino.dino")
+    tr_mod = importlib.import_module("models.dino.deformable_transformer")
+    return dino_mod, tr_mod

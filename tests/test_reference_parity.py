@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 torch = pytest.importorskip("torch")
 
-from reference_stubs import import_reference_detr  # noqa: E402
+from reference_stubs import import_reference_detr, import_reference_dino  # noqa: E402
 
 
 def _args(two_stage=True, num_queries=50):
@@ -56,7 +56,7 @@ def build_reference_model(two_stage=True):
     return model, args
 
 
-def build_ours(args, state_dict, two_stage=True):
+def build_ours(args, state_dict, two_stage=True, dino=False):
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +69,7 @@ def build_ours(args, state_dict, two_stage=True):
         num_encoder_layers=args.enc_layers,
         n_heads=args.nheads, two_stage=two_stage,
         num_feature_levels=args.num_feature_levels,
+        dino=dino,
     )
     model = UVHandDETR(
         num_queries=args.num_queries, d_model=args.hidden_dim,
@@ -76,6 +77,7 @@ def build_ours(args, state_dict, two_stage=True):
         num_decoder_layers=args.dec_layers,
         dim_feedforward=args.dim_feedforward, dropout=0.0,
         two_stage=two_stage, with_box_refine=two_stage,
+        dino_variant=dino, look_forward_twice=dino, use_dn=dino,
         feature_mask_ratio=0.0,
     )
     # init to get the full expected tree, then overlay converted params so a
@@ -90,6 +92,9 @@ def build_ours(args, state_dict, two_stage=True):
                  jax.tree_util.tree_flatten_with_path(variables)[0]}
     missing = flat_ref - flat_conv
     extra = flat_conv - flat_ref
+    # label_enc only materializes when the model runs with dn_targets (train);
+    # the eval-mode init used for the structure check never calls it
+    extra.discard("['params']['label_enc']['embedding']")
     assert not missing, f"converter missed params: {sorted(missing)[:10]}"
     assert not extra, f"converter produced unknown params: {sorted(extra)[:10]}"
     return model, variables
@@ -147,6 +152,99 @@ def test_reference_parity_two_stage():
         finite = np.isfinite(r)
         err = np.abs(o[finite] - r[finite]).max()
         assert err < 2e-3, f"interm {k}: max err {err:.2e}"
+
+
+class _Args(types.SimpleNamespace):
+    # dino/backbone.py:186 does `"backbone_dir" in args`
+    def __contains__(self, k):
+        return hasattr(self, k)
+
+
+def _dino_args(num_queries=50):
+    """DINO_4scale.py config surface (layer counts scaled down for CPU)."""
+    return _Args(
+        backbone="resnet50", lr_backbone=1e-5, dilation=False,
+        position_embedding="sine", pe_temperatureH=20, pe_temperatureW=20,
+        return_interm_indices=[1, 2, 3], backbone_freeze_keywords=None,
+        use_checkpoint=False, hidden_dim=256,
+        dropout=0.0, nheads=8, num_queries=num_queries, dim_feedforward=1024,
+        enc_layers=2, unic_layers=0, dec_layers=2, pre_norm=False,
+        query_dim=4, transformer_activation="relu", num_patterns=0,
+        num_feature_levels=4, enc_n_points=4, dec_n_points=4,
+        use_deformable_box_attn=False, box_attn_type="roi_align",
+        decoder_layer_noise=False, random_refpoints_xy=False,
+        add_channel_attention=False, add_pos_value=False,
+        two_stage_type="standard", two_stage_pat_embed=0,
+        two_stage_add_query_num=0, two_stage_keep_all_tokens=False,
+        dec_layer_number=None, decoder_sa_type="sa",
+        decoder_module_seq=["sa", "ca", "ffn"], embed_init_tgt=True,
+        use_detached_boxes_dec_out=False,
+    )
+
+
+def build_reference_dino():
+    dino_mod, tr_mod = import_reference_dino()
+    from models.dino.backbone import build_backbone as build_dino_backbone
+
+    args = _dino_args()
+    torch.manual_seed(0)
+    backbone = build_dino_backbone(args)
+    transformer = tr_mod.build_deformable_transformer(args)
+    # DINO(...) options per build_dino (dino.py:878-903) with the
+    # DINO_4scale.py config: dec_pred_*_share=True, two_stage_*_share=False
+    model = dino_mod.DINO(
+        backbone, transformer, num_classes=14, num_queries=args.num_queries,
+        aux_loss=True, iter_update=True, query_dim=4,
+        random_refpoints_xy=False, fix_refpoints_hw=-1,
+        num_feature_levels=4, nheads=8,
+        dec_pred_class_embed_share=True, dec_pred_bbox_embed_share=True,
+        two_stage_type="standard",
+        two_stage_bbox_embed_share=False, two_stage_class_embed_share=False,
+        decoder_sa_type="sa", num_patterns=0,
+        dn_number=0, dn_box_noise_scale=0.4, dn_label_noise_ratio=0.5,
+        dn_labelbook_size=14,
+    )
+    model.eval()
+    return model, args
+
+
+@pytest.mark.slow
+def test_reference_parity_dino():
+    """Faithful-DINO variant vs `models/dino/dino.py` forward on CPU:
+    tgt_embed content queries, separate enc_out_* heads, per-layer sine
+    query pos, decoder norm, detached+swapped interm keys, SineHW posenc."""
+    import jax.numpy as jnp
+
+    ref_model, args = build_reference_dino()
+    model, variables = build_ours(
+        args, ref_model.state_dict(), two_stage=True, dino=True)
+
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, jnp.asarray(img), train=False)
+
+    _cmp("pred_logits", out["pred_logits"], ref_out["pred_logits"], 2e-3)
+    _cmp("pred_hand_key", out["pred_hand_key"], ref_out["pred_hand_key"], 2e-3)
+    _cmp("pred_obj_key", out["pred_obj_key"], ref_out["pred_obj_key"], 2e-3)
+    for i, n in enumerate(["pose", "beta"]):
+        _cmp(f"mano_{n}", out["pred_mano_params"][i], ref_out["pred_mano_params"][i], 2e-3)
+    for i, n in enumerate(["rad", "rot"]):
+        _cmp(f"obj_{n}", out["pred_obj_params"][i], ref_out["pred_obj_params"][i], 2e-3)
+    for i, n in enumerate(["hand_cam", "obj_cam"]):
+        _cmp(n, out["pred_cams"][i], ref_out["pred_cams"][i], 2e-3)
+    for l, aux_ref in enumerate(ref_out["aux_outputs"]):
+        aux = out["aux_outputs"][l]
+        _cmp(f"aux{l}_logits", aux["pred_logits"], aux_ref["pred_logits"], 2e-3)
+        _cmp(f"aux{l}_hand_key", aux["pred_hand_key"], aux_ref["pred_hand_key"], 2e-3)
+        _cmp(f"aux{l}_obj_key", aux["pred_obj_key"], aux_ref["pred_obj_key"], 2e-3)
+
+    # interm outputs: the hand/obj key SWAP + detached top-k coords
+    io_ref, io = ref_out["interm_outputs"], out["interm_outputs"]
+    _cmp("interm_logits", io["pred_logits"], io_ref["pred_logits"], 2e-3)
+    _cmp("interm_hand_key", io["pred_hand_key"], io_ref["pred_hand_key"], 2e-3)
+    _cmp("interm_obj_key", io["pred_obj_key"], io_ref["pred_obj_key"], 2e-3)
 
 
 @pytest.mark.slow

@@ -210,6 +210,7 @@ def build_model(args):
     use_dn = args.modelname == "dino" or getattr(args, "use_dn", False)
     return UVHandDETR(
         use_dn=use_dn,
+        dino_variant=args.modelname == "dino",
         dn_label_noise_ratio=getattr(args, "label_noise_scale", 0.5),
         dn_box_noise_scale=getattr(args, "box_noise_scale", 1.0),
         aux_loss=getattr(args, "aux_loss", True),

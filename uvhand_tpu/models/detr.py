@@ -71,6 +71,10 @@ class UVHandDETR(nn.Module):
     feature_mask_ratio: float = 0.3
     # DINO contrastive denoising (models/dino/, dn_components.py)
     use_dn: bool = False
+    # faithful DINO transformer semantics (tied heads, tgt_embed, per-layer
+    # sine query pos, decoder norm, swapped/detached interm keys) — see
+    # DeformableTransformer.dino_variant; A/B'd vs the reference dino model
+    dino_variant: bool = False
     dn_number: int = 100
     dn_label_noise_ratio: float = 0.5
     dn_box_noise_scale: float = 1.0
@@ -86,6 +90,10 @@ class UVHandDETR(nn.Module):
     def _posenc(self, mask):
         if self.position_embedding == "learned":
             return self.pos_embed_learned(mask)
+        if self.dino_variant:
+            # PositionEmbeddingSineHW, pe_temperatureH/W=20, no -0.5 shift
+            return sine_position_encoding(
+                mask, self.d_model // 2, temperature=20.0, center_shift=False)
         return sine_position_encoding(mask, self.d_model // 2)
 
     def setup(self):
@@ -136,6 +144,7 @@ class UVHandDETR(nn.Module):
             num_queries=self.num_queries,
             num_classes=self.num_classes,
             with_box_refine=self.with_box_refine,
+            dino_variant=self.dino_variant,
             look_forward_twice=self.look_forward_twice,
             compute_dtype=self.compute_dtype,
             remat=self.remat,

@@ -18,15 +18,22 @@ def sine_position_encoding(
     temperature: float = 10000.0,
     scale: float = 2 * math.pi,
     eps: float = 1e-6,
+    center_shift: bool = True,
 ) -> jnp.ndarray:
-    """Returns (B, H, W, 2*num_pos_feats)."""
+    """Returns (B, H, W, 2*num_pos_feats).
+
+    center_shift=True is the arctic reference (shifts cumsum by -0.5 for cell
+    centers, position_encoding.py:45-46). The DINO tree's
+    `PositionEmbeddingSineHW` (models/dino/position_encoding.py:60-107,
+    pe_temperatureH/W=20 in DINO_4scale.py) does NOT shift and uses
+    temperature 20 — pass center_shift=False, temperature=20.0 for it.
+    """
     not_mask = (~mask).astype(jnp.float32)
     y_embed = jnp.cumsum(not_mask, axis=1)
     x_embed = jnp.cumsum(not_mask, axis=2)
-    # the reference shifts by -0.5 before normalizing (cell centers,
-    # position_encoding.py:45-46) — caught by tests/test_reference_parity.py
-    y_embed = (y_embed - 0.5) / (y_embed[:, -1:, :] + eps) * scale
-    x_embed = (x_embed - 0.5) / (x_embed[:, :, -1:] + eps) * scale
+    shift = 0.5 if center_shift else 0.0
+    y_embed = (y_embed - shift) / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = (x_embed - shift) / (x_embed[:, :, -1:] + eps) * scale
 
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)

@@ -22,7 +22,7 @@ block per-layer head sharing, and compile time is fine at this depth).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,8 @@ class MLP(nn.Module):
     hidden_dim: int
     output_dim: int
     num_layers: int
+    # last-layer kernel init (DINO zero-inits its key MLPs, dino.py:155-158)
+    last_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
@@ -54,7 +56,7 @@ class MLP(nn.Module):
         return nn.Dense(
             self.output_dim,
             name=f"layer{self.num_layers - 1}",
-            kernel_init=nn.initializers.xavier_uniform(),
+            kernel_init=self.last_init or nn.initializers.xavier_uniform(),
         )(x)
 
 
@@ -156,6 +158,25 @@ def proposal_pos_embed(proposals: jnp.ndarray, num_pos_feats: int = 128) -> jnp.
     return pos.reshape(pos.shape[0], pos.shape[1], -1)
 
 
+def sine_embed_42(pos: jnp.ndarray) -> jnp.ndarray:
+    """DINO per-layer query position embedding for 42-d reference points:
+    mean over the 21 x / 21 y coords -> 128-d sin/cos each -> (B, Q, 256),
+    ordered [y, x] (`models/dino/utils.py:138-166
+    gen_sineembed_for_position`)."""
+    scale = 2 * math.pi
+    dim_t = jnp.arange(128, dtype=jnp.float32)
+    dim_t = 10000.0 ** (2 * jnp.floor(dim_t / 2) / 128)
+    x = jnp.mean(pos[..., 0::2], -1) * scale  # (B, Q)
+    y = jnp.mean(pos[..., 1::2], -1) * scale
+
+    def embed(v):
+        p = v[..., None] / dim_t  # (B, Q, 128)
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         -1).reshape(v.shape + (128,))
+
+    return jnp.concatenate([embed(y), embed(x)], -1)
+
+
 # sentinel for invalid two-stage proposals; sigmoid(1e4) == 1.0 in fp32 like
 # the reference's float('inf') but NaN-safe under autodiff
 INVALID_PROPOSAL = 1e4
@@ -202,6 +223,14 @@ class DeformableTransformer(nn.Module):
     # based on the UNDETACHED updated ref from layer l-1, so the aux loss at
     # layer l also trains layer l-1's refinement head
     look_forward_twice: bool = False
+    # faithful DINO transformer semantics (models/dino/deformable_transformer.py
+    # with the DINO_4scale config defaults): learned tgt_embed content
+    # queries, per-layer sine query-pos through a 2-layer MLP, ONE class head
+    # + ONE key-MLP pair weight-tied across all decoder layers AND the
+    # encoder output, per-dim proposal adds, a final decoder LayerNorm on
+    # every intermediate, and detached+swapped interm keys (dino.py:376-378).
+    # Numerically A/B'd against the reference in tests/test_reference_parity.py.
+    dino_variant: bool = False
     compute_dtype: 'jnp.dtype' = jnp.float32
     # rematerialize encoder/decoder layers in the backward pass: drops every
     # layer's activations + the MSDA VJP residual layouts from HBM at the
@@ -244,7 +273,25 @@ class DeformableTransformer(nn.Module):
 
         prior_prob = 0.01
         cls_bias = -math.log((1 - prior_prob) / prior_prob)
-        if self.with_box_refine:
+        if self.dino_variant:
+            # decoder heads are weight-tied across layers
+            # (dec_pred_{class,bbox}_embed_share=True, dino.py:174-181); the
+            # ENCODER-output heads are separate deepcopies (DINO_4scale.py
+            # two_stage_{class,bbox}_embed_share=False -> dino.py:215-224
+            # copy.deepcopy branch). Key MLPs zero-init their last layer
+            # (dino.py:155-158; the enc copies inherit the zero init).
+            self.cls_head_shared = nn.Dense(
+                self.num_classes,
+                bias_init=nn.initializers.constant(cls_bias),
+                name="cls_head_shared",
+            )
+            zero = nn.initializers.zeros
+            self.key_head_shared = MLP(
+                self.d_model, 42, 3, last_init=zero, name="key_head_shared")
+            self.obj_key_head_shared = MLP(
+                self.d_model, 42, 3, last_init=zero, name="obj_key_head_shared")
+            self.cls_heads = self.key_heads = self.obj_key_heads = None
+        elif self.with_box_refine:
             self.cls_heads = [
                 nn.Dense(
                     self.num_classes,
@@ -272,10 +319,33 @@ class DeformableTransformer(nn.Module):
         if self.two_stage:
             self.enc_output = nn.Dense(self.d_model, name="enc_output")
             self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
-            self.pos_trans1 = nn.Dense(1024, name="pos_trans1")
-            self.pos_trans2 = nn.Dense(1024, name="pos_trans2")
-            self.pos_trans3 = nn.Dense(2 * self.d_model, name="pos_trans3")
-            self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")
+            if self.dino_variant:
+                # learned content queries (embed_init_tgt=True) + per-layer
+                # query-pos MLP + final decoder norm; no pos_trans machinery
+                self.tgt_embed = self.param(
+                    "tgt_embed", nn.initializers.normal(1.0),
+                    (self.num_queries, self.d_model),
+                )
+                self.dino_ref_point_head = MLP(
+                    self.d_model, self.d_model, 2, name="ref_point_head")
+                self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+                # separate enc-output heads (transformer.enc_out_* deepcopies)
+                self.enc_out_cls_head = nn.Dense(
+                    self.num_classes,
+                    bias_init=nn.initializers.constant(cls_bias),
+                    name="enc_out_cls_head",
+                )
+                zero = nn.initializers.zeros
+                self.enc_out_key_head = MLP(
+                    self.d_model, 42, 3, last_init=zero, name="enc_out_key_head")
+                self.enc_out_obj_key_head = MLP(
+                    self.d_model, 42, 3, last_init=zero,
+                    name="enc_out_obj_key_head")
+            else:
+                self.pos_trans1 = nn.Dense(1024, name="pos_trans1")
+                self.pos_trans2 = nn.Dense(1024, name="pos_trans2")
+                self.pos_trans3 = nn.Dense(2 * self.d_model, name="pos_trans3")
+                self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")
             if self.two_stage_learn_xy:
                 # Embedding(1, 40), init logit(0.05) (arctic_transformer.py:88-89)
                 self.learn_xy = self.param(
@@ -289,7 +359,16 @@ class DeformableTransformer(nn.Module):
             )
 
     def _cls_head(self, i):
-        return self.cls_heads[i] if self.with_box_refine else self.cls_head_shared
+        if self.dino_variant or not self.with_box_refine:
+            return self.cls_head_shared
+        return self.cls_heads[i]
+
+    def _key_head(self, i):
+        return self.key_head_shared if self.dino_variant else self.key_heads[i]
+
+    def _obj_key_head(self, i):
+        return (self.obj_key_head_shared if self.dino_variant
+                else self.obj_key_heads[i])
 
     def _gen_proposals(self, memory, padding_mask, spatial_shapes):
         """(memory', proposals) — gen_encoder_output_proposals (:106-142)."""
@@ -307,6 +386,9 @@ class DeformableTransformer(nn.Module):
             scale = jnp.stack([valid_W, valid_H], -1).reshape(B, 1, 1, 2)
             grid = (grid + 0.5) / scale  # (B, H, W, 2)
             if self.two_stage_learn_xy:
+                # dino calls this two_stage_wh_embedding but hardcodes it ON
+                # with the same logit(0.05) init (deformable_transformer.py:
+                # 192,236,1118) — identical to arctic's two_stage_learn_xy
                 xy = jnp.ones_like(grid).repeat(20, axis=-1) * jax.nn.sigmoid(self.learn_xy) * (2.0 ** lvl)
             else:
                 xy = jnp.ones_like(grid).repeat(20, axis=-1) * 0.05 * (2.0 ** lvl)
@@ -371,12 +453,21 @@ class DeformableTransformer(nn.Module):
         enc_outputs = None
         if self.two_stage:
             out_mem, out_props = self._gen_proposals(memory, mask_flat, spatial_shapes)
-            enc_cls = self._cls_head(self.num_decoder_layers)(out_mem)
-            enc_hand = self.key_heads[self.num_decoder_layers](out_mem)
-            enc_obj = self.obj_key_heads[self.num_decoder_layers](out_mem)
-            # add proposal x to even dims, y to odd dims (:198-201)
-            enc_hand = enc_hand.at[..., 0::2].add(out_props[..., 0:1]).at[..., 1::2].add(out_props[..., 1:2])
-            enc_obj = enc_obj.at[..., 0::2].add(out_props[..., 0:1]).at[..., 1::2].add(out_props[..., 1:2])
+            if self.dino_variant:
+                enc_cls = self.enc_out_cls_head(out_mem)
+                enc_hand = self.enc_out_key_head(out_mem)
+                enc_obj = self.enc_out_obj_key_head(out_mem)
+                # dino adds proposals PER-DIM: the non-root dims get the
+                # 0.05*2^lvl spread constants (deformable_transformer.py:343-346)
+                enc_hand = enc_hand + out_props
+                enc_obj = enc_obj + out_props
+            else:
+                enc_cls = self._cls_head(self.num_decoder_layers)(out_mem)
+                enc_hand = self._key_head(self.num_decoder_layers)(out_mem)
+                enc_obj = self._obj_key_head(self.num_decoder_layers)(out_mem)
+                # arctic adds the root x to even dims, y to odd (:198-201)
+                enc_hand = enc_hand.at[..., 0::2].add(out_props[..., 0:1]).at[..., 1::2].add(out_props[..., 1:2])
+                enc_obj = enc_obj.at[..., 0::2].add(out_props[..., 0:1]).at[..., 1::2].add(out_props[..., 1:2])
 
             topk = self.num_queries
             scores = jnp.max(enc_cls, -1)
@@ -392,16 +483,31 @@ class DeformableTransformer(nn.Module):
             ref_unact = jnp.where(hand_m[..., None], hand_kp, ref_unact)
             reference_points = jax.nn.sigmoid(ref_unact) * 2 - 1  # [-1, 1] quirk
 
-            pt = nn.relu(self.pos_trans1(proposal_pos_embed(ref_unact)))
-            pt = nn.relu(self.pos_trans2(pt))
-            pt = nn.relu(self.pos_trans3(pt))
-            pt = self.pos_trans_norm(pt)
-            query_pos, tgt = jnp.split(pt, 2, axis=-1)
-            enc_outputs = {
-                "pred_logits": enc_cls,
-                "pred_hand_key_unact": enc_hand,
-                "pred_obj_key_unact": enc_obj,
-            }
+            if self.dino_variant:
+                # learned content queries; query_pos is computed PER LAYER
+                # from the current refs in the decoder loop below
+                tgt = jnp.tile(self.tgt_embed[None], (B, 1, 1))
+                query_pos = None
+                # interm outputs: logits from the UNDETACHED gathered memory
+                # through the enc class head; keys are the DETACHED top-k
+                # coords with the reference's hand/obj SWAP (dino.py:376-378)
+                tgt_undetach = take(out_mem)
+                enc_outputs = {
+                    "pred_logits": self.enc_out_cls_head(tgt_undetach),
+                    "pred_hand_key_unact": obj_kp,  # swap, bug-compatible
+                    "pred_obj_key_unact": hand_kp,
+                }
+            else:
+                pt = nn.relu(self.pos_trans1(proposal_pos_embed(ref_unact)))
+                pt = nn.relu(self.pos_trans2(pt))
+                pt = nn.relu(self.pos_trans3(pt))
+                pt = self.pos_trans_norm(pt)
+                query_pos, tgt = jnp.split(pt, 2, axis=-1)
+                enc_outputs = {
+                    "pred_logits": enc_cls,
+                    "pred_hand_key_unact": enc_hand,
+                    "pred_obj_key_unact": enc_obj,
+                }
         else:
             query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
             query_pos = jnp.tile(query_pos[None], (B, 1, 1))
@@ -412,12 +518,13 @@ class DeformableTransformer(nn.Module):
         num_dn = 0
         if dn_tgt is not None:
             num_dn = dn_tgt.shape[1]
-            dn_pos = nn.relu(self.pos_trans1(proposal_pos_embed(dn_refs_unact)))
-            dn_pos = nn.relu(self.pos_trans2(dn_pos))
-            dn_pos = nn.relu(self.pos_trans3(dn_pos))
-            dn_pos = self.pos_trans_norm(dn_pos)[..., : self.d_model]
             dn_refs = jax.nn.sigmoid(dn_refs_unact) * 2 - 1
-            query_pos = jnp.concatenate([dn_pos, query_pos], axis=1)
+            if query_pos is not None:  # non-dino path keeps a fixed query_pos
+                dn_pos = nn.relu(self.pos_trans1(proposal_pos_embed(dn_refs_unact)))
+                dn_pos = nn.relu(self.pos_trans2(dn_pos))
+                dn_pos = nn.relu(self.pos_trans3(dn_pos))
+                dn_pos = self.pos_trans_norm(dn_pos)[..., : self.d_model]
+                query_pos = jnp.concatenate([dn_pos, query_pos], axis=1)
             tgt = jnp.concatenate([dn_tgt, tgt], axis=1)
             reference_points = jnp.concatenate([dn_refs, reference_points], axis=1)
 
@@ -432,23 +539,34 @@ class DeformableTransformer(nn.Module):
         refs_undet_list = [reference_points]
         output = tgt
         ref = reference_points
+        refine = (self.with_box_refine or self.dino_variant) and self.two_stage
         for lid, layer in enumerate(self.dec_layers):
             if ref.shape[-1] == 42:
                 ref_input = ref[:, :, None] * jnp.tile(valid_ratios, (1, 1, 21))[:, None]
             else:
                 ref_input = ref[:, :, None] * valid_ratios[:, None]
             refs_in_list.append(ref)
+            if self.dino_variant:
+                # per-layer conditional query pos: sine embed of the level-0
+                # ref input through a 2-layer MLP (TransformerDecoder.forward,
+                # deformable_transformer.py:736-747)
+                query_pos = self.dino_ref_point_head(
+                    sine_embed_42(ref_input[:, :, 0, :]))
             output = layer(output, query_pos, ref_input, memory, spatial_shapes,
                            mask_flat, train, self_attn_mask=dn_attn_mask)
-            hs_list.append(output)
+            # dino norms every intermediate output; the refinement heads
+            # see the RAW layer output (TransformerDecoder.forward:790-819)
+            hs_list.append(self.decoder_norm(output) if self.dino_variant
+                           else output)
 
             logits = self._cls_head(lid)(output)
-            logits_list.append(logits)
-            if self.with_box_refine and self.two_stage:
+            logits_list.append(self._cls_head(lid)(hs_list[-1])
+                               if self.dino_variant else logits)
+            if refine:
                 cls_idx = jnp.argmax(logits, -1)
                 hand_m, obj_m = _class_masks(cls_idx)
-                d_hand = self.key_heads[lid](output)
-                d_obj = self.obj_key_heads[lid](output)
+                d_hand = self._key_head(lid)(output)
+                d_obj = self._obj_key_head(lid)(output)
                 delta = jnp.where(
                     hand_m[..., None], d_hand, jnp.where(obj_m[..., None], d_obj, 0.0)
                 )
@@ -457,20 +575,20 @@ class DeformableTransformer(nn.Module):
                 refs_undet_list.append(new_ref)
 
         hs = jnp.stack(hs_list)  # (n_dec, B, Q, C)
-        if self.look_forward_twice and self.with_box_refine and self.two_stage:
+        if self.look_forward_twice and refine:
             refs_in = jnp.stack(refs_undet_list[: self.num_decoder_layers])
         else:
             refs_in = jnp.stack(refs_in_list)  # ref at the input of each layer
         pred_logits = jnp.stack(logits_list)
 
-        # per-layer keypoint outputs (actic_detr.py:282-295): delta(hs_l) +
-        # inverse_sigmoid(ref input to layer l), then sigmoid*2-1
-        if self.with_box_refine and self.two_stage:
+        # per-layer keypoint outputs (actic_detr.py:282-295 / dino.py:329-340):
+        # delta(hs_l) + inverse_sigmoid(ref input to layer l), then sigmoid*2-1
+        if refine:
             hand_keys, obj_keys = [], []
             for lid in range(self.num_decoder_layers):
                 base = inverse_sigmoid(refs_in[lid])
-                hand_keys.append(jax.nn.sigmoid(self.key_heads[lid](hs[lid]) + base) * 2 - 1)
-                obj_keys.append(jax.nn.sigmoid(self.obj_key_heads[lid](hs[lid]) + base) * 2 - 1)
+                hand_keys.append(jax.nn.sigmoid(self._key_head(lid)(hs[lid]) + base) * 2 - 1)
+                obj_keys.append(jax.nn.sigmoid(self._obj_key_head(lid)(hs[lid]) + base) * 2 - 1)
             pred_hand_key = jnp.stack(hand_keys)
             pred_obj_key = jnp.stack(obj_keys)
         else:

@@ -87,8 +87,14 @@ def convert_reference_detr(
     n_heads: int = 8,
     two_stage: bool = True,
     num_feature_levels: int = 4,
+    dino: bool = False,
 ) -> dict:
-    """Reference DeformableDETR state dict -> {'params': ...} for UVHandDETR."""
+    """Reference DeformableDETR state dict -> {'params': ...} for UVHandDETR.
+
+    dino=True maps the DINO variant (`models/dino/dino.py`): weight-tied
+    decoder class/key heads (entry 0 of the clone lists), the separate
+    `transformer.enc_out_*` deepcopy heads, `tgt_embed`, the decoder's
+    per-layer `ref_point_head` MLP and final norm, and `label_enc`."""
     sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
     if "model" in sd and not hasattr(sd["model"], "shape"):
         sd = {k.removeprefix("module."): v for k, v in sd["model"].items()}
@@ -137,7 +143,36 @@ def convert_reference_detr(
         _linear(params, ld + ("linear1",), sd, f"{src}.linear1")
         _linear(params, ld + ("linear2",), sd, f"{src}.linear2")
 
-    if two_stage:
+    if two_stage and dino:
+        _linear(params, t + ("enc_output",), sd, "transformer.enc_output")
+        _norm(params, t + ("enc_output_norm",), sd, "transformer.enc_output_norm")
+        _put(params, t + ("tgt_embed",), _np(sd["transformer.tgt_embed.weight"]))
+        _put(params, t + ("two_stage_learn_xy",),
+             _np(sd["transformer.two_stage_wh_embedding.weight"]).reshape(-1))
+        for j in range(2):
+            _linear(params, t + ("ref_point_head", f"layer{j}"), sd,
+                    f"transformer.decoder.ref_point_head.layers.{j}")
+        _norm(params, t + ("decoder_norm",), sd, "transformer.decoder.norm")
+        # decoder heads are weight-tied (dec_pred_*_share=True): clone-list
+        # entry 0 carries the weights. The ENC-output heads are separate
+        # deepcopies (two_stage_*_embed_share=False) living under
+        # transformer.enc_out_* (dino.py:215-224).
+        _linear(params, t + ("cls_head_shared",), sd, "class_embed.0")
+        for head, dst in (("key_embed", "key_head_shared"),
+                          ("obj_key_embed", "obj_key_head_shared")):
+            for j in range(3):
+                _linear(params, t + (dst, f"layer{j}"), sd,
+                        f"{head}.0.layers.{j}")
+        _linear(params, t + ("enc_out_cls_head",), sd,
+                "transformer.enc_out_class_embed")
+        for head, dst in (("enc_out_key_embed", "enc_out_key_head"),
+                          ("enc_out_obj_key_embed", "enc_out_obj_key_head")):
+            for j in range(3):
+                _linear(params, t + (dst, f"layer{j}"), sd,
+                        f"transformer.{head}.layers.{j}")
+        if "label_enc.weight" in sd:
+            _put(params, ("label_enc", "embedding"), _np(sd["label_enc.weight"]))
+    elif two_stage:
         _linear(params, t + ("enc_output",), sd, "transformer.enc_output")
         _norm(params, t + ("enc_output_norm",), sd, "transformer.enc_output_norm")
         for dst, j in (("pos_trans1", 0), ("pos_trans2", 2), ("pos_trans3", 4)):
@@ -160,7 +195,7 @@ def convert_reference_detr(
     num_pred = num_decoder_layers + 1 if two_stage else num_decoder_layers
     if not two_stage and "cls_embed.0.weight" in sd:
         _linear(params, t + ("cls_head_shared",), sd, "cls_embed.0")
-    for i in range(num_pred if two_stage else 0):
+    for i in range(num_pred if (two_stage and not dino) else 0):
         if f"cls_embed.{i}.weight" in sd:
             _linear(params, t + (f"cls_head{i}",), sd, f"cls_embed.{i}")
         for head, dst in (("key_embed", "key_head"), ("obj_key_embed", "obj_key_head")):
