@@ -12,8 +12,17 @@ kernel body in isolation to locate where Mosaic burns the extra 3.6x:
   matred    per-point column reductions via MXU dot against ones
   signfree  sign-gate via float multiply instead of where(select)
   fused     single-pass restructure: shared hat subterms across outputs
+  sep       separable-tent: dpy/dpx/daw from per-axis MXU fold dots
+            (Gx[q,r] = sum_c wx*G, Gy[q,c] = sum_r wy*G) + tiny
+            (Qt, 128) factor ops — drops the sign/where chains and one
+            of the three per-point (Qt, seg) reductions entirely
+  sepx      sep + the wy/wx planes themselves built by MXU expansion
+            dots (ay (Qt,128) @ Er (128,seg)) instead of VPU tents —
+            the big-plane VPU work drops to ~4 ops/point
+  fwd       production forward kernel (baseline)
+  fwdsepx   forward with both tent planes via MXU expansion dots
 
-Usage: python scripts/bench_msda_ablation.py [variant ...]
+Usage: python scripts/bench_msda_ablation.py [--check] [variant ...]
 """
 
 import os
@@ -40,6 +49,322 @@ def build(variant, spatial_shapes, dims, dtype):
     Qt = min(mp.Q_TILE, mp._round_up(Lq, 8))
     plan = tuple(zip(offs, seg))
     prec = mp._precision(dtype)
+
+    # separable-tent fold maps: Kc folds a level's flattened (r, c) token
+    # axis over c (keeping r), Kr folds over r (keeping c). 0/1 constants;
+    # padding slots stay all-zero so they never contribute.
+    def _fold_maps():
+        Kc = np.zeros((S_pad, 128), np.float32)
+        Kr = np.zeros((S_pad, 128), np.float32)
+        for (h, w), sz, off in zip(spatial_shapes, sizes, offs):
+            ar = np.arange(sz)
+            Kc[off + ar, ar // w] = 1.0
+            Kr[off + ar, ar % w] = 1.0
+        return Kc, Kr
+
+    def kernel_sep(py_ref, px_ref, aw_ref, sy_ref, sx_ref, kc_ref, kr_ref,
+                   v_ref, g_ref, dv_ref, dpy_ref, dpx_ref, daw_ref, ws_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+        def redsmall(x):  # (Qt, 128) -> (Qt, 1) on the MXU
+            return jax.lax.dot_general(
+                x, jnp.ones((128, 8), jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )[:, :1]
+
+        g = g_ref[0]
+        G_all = jax.lax.dot_general(
+            g, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        dpy_cols, dpx_cols, daw_cols = [], [], []
+        for l, (off, sg) in enumerate(plan):
+            sy = sy_ref[:, off : off + sg]
+            sx = sx_ref[:, off : off + sg]
+            G = G_all[:, off : off + sg]
+            kc = kc_ref[off : off + sg, :]
+            kr = kr_ref[off : off + sg, :]
+            wsum = None
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                wy = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0)
+                wx = jnp.maximum(1.0 - jnp.abs(px - sx), 0.0)
+                Gx = jax.lax.dot_general(  # (Qt, 128): row-folded wx*G
+                    wx * G, kc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                Gy = jax.lax.dot_general(  # (Qt, 128): col-folded wy*G
+                    wy * G, kr, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                term = aw * (wy * wx)
+                wsum = term if wsum is None else wsum + term
+                # per-axis tent factors on the tiny (Qt, 128) coord axis:
+                # all rows of a level share sy == r, so wy == Ay[q, row]
+                dyr = py - rc
+                dxc = px - rc
+                ay = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)
+                sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+                sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+                daw_cols.append(redsmall(ay * Gx))
+                dpy_cols.append(-aw * redsmall(sgny * Gx))
+                dpx_cols.append(-aw * redsmall(sgnx * Gy))
+            ws_ref[:, off : off + sg] = wsum.astype(ws_ref.dtype)
+        dv_ref[0] += jax.lax.dot_general(
+            ws_ref[...], g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dv_ref.dtype)
+        dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
+        dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
+        daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
+
+    # expansion maps: Er[r, off + r*W + c] = 1 broadcasts a per-row factor
+    # (Qt, 128) to the level's flattened token axis via one MXU dot;
+    # Ec likewise per-column. Padding slots stay all-zero.
+    def _expand_maps():
+        Er = np.zeros((128, S_pad), np.float32)
+        Ec = np.zeros((128, S_pad), np.float32)
+        for (h, w), sz, off in zip(spatial_shapes, sizes, offs):
+            ar = np.arange(sz)
+            Er[ar // w, off + ar] = 1.0
+            Ec[ar % w, off + ar] = 1.0
+        return Er, Ec
+
+    def kernel_sepx(py_ref, px_ref, aw_ref, kc_ref, kr_ref, er_ref, ec_ref,
+                    v_ref, g_ref, dv_ref, dpy_ref, dpx_ref, daw_ref, ws_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+        def redsmall(x):
+            return jax.lax.dot_general(
+                x, jnp.ones((128, 8), jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )[:, :1]
+
+        def expand(small, m_ref, off, sg):
+            return jax.lax.dot_general(
+                small, m_ref[:, off : off + sg], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        g = g_ref[0]
+        G_all = jax.lax.dot_general(
+            g, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        dpy_cols, dpx_cols, daw_cols = [], [], []
+        for l, (off, sg) in enumerate(plan):
+            G = G_all[:, off : off + sg]
+            kc = kc_ref[off : off + sg, :]
+            kr = kr_ref[off : off + sg, :]
+            wsum = None
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                dyr = py - rc
+                dxc = px - rc
+                ay = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)   # (Qt, 128)
+                ax = jnp.maximum(1.0 - jnp.abs(dxc), 0.0)
+                sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+                sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+                wy2 = expand(aw * ay, er_ref, off, sg)  # aw-folded row tent
+                wx = expand(ax, ec_ref, off, sg)
+                Gx = jax.lax.dot_general(  # unscaled row-fold of wx*G
+                    wx * G, kc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                Gy2 = jax.lax.dot_general(  # aw-folded col-fold of wy*G
+                    wy2 * G, kr, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                term = wy2 * wx
+                wsum = term if wsum is None else wsum + term
+                daw_cols.append(redsmall(ay * Gx))
+                dpy_cols.append(-aw * redsmall(sgny * Gx))
+                dpx_cols.append(-redsmall(sgnx * Gy2))
+            ws_ref[:, off : off + sg] = wsum.astype(ws_ref.dtype)
+        dv_ref[0] += jax.lax.dot_general(
+            ws_ref[...], g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dv_ref.dtype)
+        dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
+        dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
+        daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
+
+    if variant == "sepx":
+        Kc_np, Kr_np = _fold_maps()
+        Er_np, Ec_np = _expand_maps()
+
+        def call(pyb, pxb, awb, vp, gb):
+            Lq_pad = pyb.shape[1]
+            big_spec = pl.BlockSpec((S_pad, 128), lambda bm, q: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            bigT_spec = pl.BlockSpec((128, S_pad), lambda bm, q: (0, 0),
+                                     memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel_sepx,
+                grid=(B * M, Lq_pad // Qt),
+                in_specs=[
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                    big_spec, big_spec, bigT_spec, bigT_spec,
+                    mp._v_spec(S_pad, D),
+                    pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B * M, S_pad, D), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                ),
+                scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyb, pxb, awb, jnp.asarray(Kc_np), jnp.asarray(Kr_np),
+              jnp.asarray(Er_np), jnp.asarray(Ec_np), vp, gb)
+
+        return call
+
+    # forward variants: same harness signature, gb ignored; single output
+    def kernel_fwd(py_ref, px_ref, aw_ref, sy_ref, sx_ref, v_ref, out_ref,
+                   w_ref):
+        for l, (off, sg) in enumerate(plan):
+            sy = sy_ref[:, off : off + sg]
+            sx = sx_ref[:, off : off + sg]
+            w = None
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                hat = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0) * jnp.maximum(
+                    1.0 - jnp.abs(px - sx), 0.0
+                )
+                term = aw * hat
+                w = term if w is None else w + term
+            w_ref[:, off : off + sg] = w.astype(w_ref.dtype)
+        out_ref[0] = jnp.dot(
+            w_ref[...], v_ref[0], preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(out_ref.dtype)
+
+    def kernel_fwdsepx(py_ref, px_ref, aw_ref, er_ref, ec_ref, v_ref,
+                       out_ref, w_ref):
+        def expand(small, m_ref, off, sg):
+            return jax.lax.dot_general(
+                small, m_ref[:, off : off + sg], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        for l, (off, sg) in enumerate(plan):
+            w = None
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                ay2 = aw * jnp.maximum(1.0 - jnp.abs(py - rc), 0.0)
+                ax = jnp.maximum(1.0 - jnp.abs(px - rc), 0.0)
+                term = expand(ay2, er_ref, off, sg) * expand(ax, ec_ref, off, sg)
+                w = term if w is None else w + term
+            w_ref[:, off : off + sg] = w.astype(w_ref.dtype)
+        out_ref[0] = jnp.dot(
+            w_ref[...], v_ref[0], preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(out_ref.dtype)
+
+    if variant in ("fwd", "fwdsepx"):
+        Er_np, Ec_np = _expand_maps()
+
+        def call(pyb, pxb, awb, vp, gb):
+            del gb
+            Lq_pad = pyb.shape[1]
+            sy_np, sx_np = mp._grid_maps(spatial_shapes)
+            bigT_spec = pl.BlockSpec((128, S_pad), lambda bm, q: (0, 0),
+                                     memory_space=pltpu.VMEM)
+            if variant == "fwd":
+                kern = kernel_fwd
+                extra_specs = [mp._const_spec(S_pad), mp._const_spec(S_pad)]
+                extras = (jnp.asarray(sy_np), jnp.asarray(sx_np))
+            else:
+                kern = kernel_fwdsepx
+                extra_specs = [bigT_spec, bigT_spec]
+                extras = (jnp.asarray(Er_np), jnp.asarray(Ec_np))
+            out = pl.pallas_call(
+                kern,
+                grid=(B * M, Lq_pad // Qt),
+                in_specs=[
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                    *extra_specs,
+                    mp._v_spec(S_pad, D),
+                ],
+                out_specs=pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), vp.dtype),
+                scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyb, pxb, awb, *extras, vp)
+            return (out,)
+
+        return call
+
+    if variant == "sep":
+        Kc_np, Kr_np = _fold_maps()
+
+        def call(pyb, pxb, awb, vp, gb):
+            Lq_pad = pyb.shape[1]
+            sy_np, sx_np = mp._grid_maps(spatial_shapes)
+            return pl.pallas_call(
+                kernel_sep,
+                grid=(B * M, Lq_pad // Qt),
+                in_specs=[
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                    mp._const_spec(S_pad), mp._const_spec(S_pad),
+                    pl.BlockSpec((S_pad, 128), lambda bm, q: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((S_pad, 128), lambda bm, q: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    mp._v_spec(S_pad, D),
+                    pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B * M, S_pad, D), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                ),
+                scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np),
+              jnp.asarray(Kc_np), jnp.asarray(Kr_np), vp, gb)
+
+        return call
 
     # "xdot" family: G comes in as an INPUT (computed by an XLA batched
     # GEMM), the wsum plane goes OUT to HBM (dV = ws^T @ g as an XLA GEMM
@@ -260,14 +585,60 @@ def build(variant, spatial_shapes, dims, dtype):
             ),
             scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
             compiler_params=mp._COMPILER_PARAMS,
+            interpret=mp._interpret(),
         )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp, gb)
 
     return call
 
 
+def check(variants):
+    """Interpret-mode numeric equivalence vs the production 'full' body
+    (small shapes; runs on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvhand_tpu.ops import msda_pallas as mp
+
+    shapes = ((6, 6), (3, 3), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    B, M, D, P = 2, 2, 32, 4
+    Lq = S
+    rng = np.random.default_rng(1)
+    value = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Lq, M, len(shapes), P, 2)),
+                      jnp.float32)
+    attn = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, len(shapes), P)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.float32)
+    pyb, pxb, awb, vp = mp._layouts(shapes, value, loc, attn)
+    gb = g.reshape(B, Lq, M, D).astype(vp.dtype)
+    gb = jnp.transpose(gb, (0, 2, 1, 3)).reshape(B * M, Lq, D)
+    gb = jnp.pad(gb, ((0, 0), (0, pyb.shape[1] - Lq), (0, 0)))
+    dims = (B, S, M, D, Lq, P)
+    refs = {}
+
+    def ref_for(variant):
+        key = "fwd" if variant.startswith("fwd") else "full"
+        if key not in refs:
+            refs[key] = build(key, shapes, dims, vp.dtype)(pyb, pxb, awb, vp, gb)
+        return refs[key]
+
+    for variant in variants:
+        ref = ref_for(variant)
+        names = ("out",) if variant.startswith("fwd") else ("dv", "dpy", "dpx", "daw")
+        outs = build(variant, shapes, dims, vp.dtype)(pyb, pxb, awb, vp, gb)
+        for name, a, b in zip(names, ref, outs):
+            err = float(jnp.max(jnp.abs(a - b)))
+            status = "ok" if err < 1e-4 else "MISMATCH"
+            print(f"{variant:10s} {name:4s} max|delta| = {err:.2e}  {status}")
+
+
 def main():
-    variants = sys.argv[1:] or ["full", "onlyg", "nodpy", "nodaw", "nodv",
-                                "matred", "signfree", "fused"]
+    args = sys.argv[1:]
+    if args and args[0] == "--check":
+        check(args[1:] or ["sep"])
+        return
+    variants = args or ["full", "onlyg", "nodpy", "nodaw", "nodv",
+                        "matred", "signfree", "fused"]
     from uvhand_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
