@@ -9,6 +9,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def capture(logdir, batch, steps, bf16=True):
     """Profile the PRODUCTION program (same builder as bench.py/cli)."""
@@ -28,8 +30,6 @@ def capture(logdir, batch, steps, bf16=True):
     from uvhand_tpu.geometry import mano, objects
     from uvhand_tpu.models.detr import UVHandDETR
     from uvhand_tpu.train.state import create_train_state
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     root = tempfile.mkdtemp(prefix="uvhand_prof_")
     arctic.make_synthetic_root(root, num_seqs=2, frames=(batch + 1) // 2, views=1)

@@ -116,6 +116,66 @@ def test_pallas_bf16(rng):
     np.testing.assert_allclose(b16, f32, atol=3e-3)
 
 
+def test_pallas_separable_vs_dense_backward(rng, monkeypatch):
+    """The separable-tent backward (production for all level dims <= 128)
+    must produce the same gradients as the dense-reduction fallback.
+
+    JAX memoizes the traced custom-VJP backward per (fn, avals), so the
+    UVHAND_MSDA_SEP_BWD knob only takes effect on a fresh trace — clear the
+    tracing caches between the two runs (the knob is likewise documented as
+    set-before-first-use in production)."""
+    from uvhand_tpu.ops import msda_pallas
+
+    shapes = ((8, 8), (4, 4))
+    value, loc, attn = make_inputs(rng, b=2, lq=37, m=4, d=16, p=3, shapes=shapes)
+    g = rng.standard_normal((2, 37, 4 * 16)).astype(np.float32)
+    args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+
+    def grads(sep_env):
+        jax.clear_caches()
+        msda_pallas._bwd_partitioned.cache_clear()
+        monkeypatch.setenv("UVHAND_MSDA_SEP_BWD", sep_env)
+
+        def f(v, l, a):
+            return jnp.sum(
+                ms_deform_attn(v, shapes, l, a, impl="pallas") * jnp.asarray(g)
+            )
+        assert msda_pallas._separable_ok(shapes) == (sep_env == "1")
+        out = jax.grad(f, argnums=(0, 1, 2))(*args)
+        # a fresh trace must have built exactly the requested kernel variant
+        assert msda_pallas._bwd_partitioned.cache_info().currsize == 1
+        return out
+
+    sep = grads("1")
+    dense = grads("0")
+    for a, b in zip(sep, dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_large_level_falls_back_to_dense(rng):
+    """A level wider than 128 exceeds the (Qt, 128) factor tile; the bwd
+    must route to the dense-reduction kernel and stay oracle-correct."""
+    from uvhand_tpu.ops import msda_pallas
+
+    shapes = ((2, 130),)
+    assert not msda_pallas._separable_ok(shapes)
+    value, loc, attn = make_inputs(rng, b=1, lq=9, m=2, d=8, p=2, shapes=shapes)
+    g = rng.standard_normal((1, 9, 2 * 8)).astype(np.float32)
+
+    def loss(impl):
+        def f(v, l, a):
+            return jnp.sum(ms_deform_attn(v, shapes, l, a, impl=impl) * jnp.asarray(g))
+        return f
+
+    args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    g1 = jax.grad(loss("pallas"), argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1, 2))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("d", [30, 71])
 def test_pallas_odd_channels(rng, d):
     """Non-lane-aligned head dims (the reference gradchecks channels

@@ -31,10 +31,23 @@ The backward recomputes W per level (recompute-style VJP) and produces
     dV   = W^T @ g          (MXU, accumulated across query tiles)
     G    = g @ V^T          (MXU, per level)
     dattn[q,p] = sum_s hat_p[q,s] G[q,s]
-    dpx/dpy    = attn * sum_s dhat * G   (VPU row reductions)
+    dpx/dpy    = attn * sum_s dhat * G
 — no scatters anywhere, matching the CUDA backward's role with TPU idioms.
 The forward's layout prep (transposes/pads) is passed through as VJP
 residuals so the backward never re-runs it.
+
+The dattn/dpy/dpx reductions use the SEPARABLE-TENT factorization (round-3
+ablation `scripts/bench_msda_ablation.py`, 2.25x bwd speedup): the bilinear
+hat factorizes as hat = wy(row) * wx(col), and within a level every token in
+grid row r shares wy == ay[q, r]. So
+    dattn[q,p] = sum_r ay[q,r] * Gx[q,r],   Gx = (wx*G) @ Kc
+    dpy[q,p]   = -aw * sum_r sgn_y[q,r] * Gx[q,r]
+    dpx[q,p]   = -aw * sum_c sgn_x[q,c] * Gy[q,c], Gy = (wy*G) @ Kr
+where Kc/Kr are constant 0/1 fold maps (token -> row / token -> col) and the
+folds run on the MXU. The sign/where chains and two of the three per-point
+(Qt, seg)-wide reductions move from the (saturated) VPU onto (Qt, 128)
+factors — requires every level dim <= 128 (true for all production strides;
+larger grids fall back to the dense-reduction kernel).
 
 Numerical contract: `ms_deform_attn_core_pytorch`
 (`/root/reference/models/ops/functions/ms_deform_attn_func.py:42-62`).
@@ -85,6 +98,33 @@ def _grid_maps(spatial_shapes: Tuple[Tuple[int, int], ...]):
     return sy, sx
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_maps(spatial_shapes: Tuple[Tuple[int, int], ...]):
+    """(1, S_pad, 128) 0/1 fold maps for the separable backward: Kc folds a
+    level's flattened (row, col) token axis over col (keeping row), Kr folds
+    over row (keeping col). Padding slots stay all-zero so padded tokens
+    never contribute; rows/cols beyond a level's extent likewise fold to 0,
+    which reproduces grid_sample's zero padding exactly."""
+    sizes, seg, offs, S_pad = _level_plan(spatial_shapes)
+    Kc = np.zeros((1, S_pad, 128), np.float32)
+    Kr = np.zeros((1, S_pad, 128), np.float32)
+    for (h, w), sz, off in zip(spatial_shapes, sizes, offs):
+        ar = np.arange(sz)
+        Kc[0, off + ar, ar // w] = 1.0
+        Kr[0, off + ar, ar % w] = 1.0
+    return Kc, Kr
+
+
+def _separable_ok(spatial_shapes) -> bool:
+    # UVHAND_MSDA_SEP_BWD=0 forces the dense-reduction backward (A/B knob).
+    # Set it BEFORE the first backward trace: JAX memoizes the traced
+    # custom-VJP bwd per (fn, avals), so a later flip only takes effect
+    # after jax.clear_caches() + _bwd_partitioned.cache_clear().
+    if os.environ.get("UVHAND_MSDA_SEP_BWD", "1") == "0":
+        return False
+    return all(h <= 128 and w <= 128 for h, w in spatial_shapes)
+
+
 def _precision(dtype):
     return (
         jax.lax.Precision.HIGHEST
@@ -129,6 +169,76 @@ def _fwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
         w_ref[...], v_ref[0], preferred_element_type=jnp.float32,
         precision=prec,
     ).astype(out_ref.dtype)
+
+
+def _bwd_kernel_sep(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref,
+                    sx_ref, kc_ref, kr_ref, v_ref, g_ref, dv_ref, dpy_ref,
+                    dpx_ref, daw_ref, ws_ref):
+    """Separable-tent backward (see module docstring). The wy/wx planes are
+    still built dense (needed for wsum and the G products), but the three
+    per-point (Qt, seg) reductions collapse to two MXU fold-dots plus tiny
+    (Qt, 128)-wide factor ops, and the sign/where chains never touch a big
+    plane."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    def redsmall(x):  # (Qt, 128) -> (Qt, 1) on the MXU
+        return jax.lax.dot_general(
+            x, jnp.ones((128, 8), jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1]
+
+    g = g_ref[0]  # (Qt, D)
+    G_all = jax.lax.dot_general(
+        g, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (Qt, S_pad)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+    dpy_cols, dpx_cols, daw_cols = [], [], []
+    for l, (off, seg) in enumerate(plan):
+        sy = sy_ref[:, off : off + seg]
+        sx = sx_ref[:, off : off + seg]
+        G = G_all[:, off : off + seg]
+        kc = kc_ref[0, off : off + seg, :]
+        kr = kr_ref[0, off : off + seg, :]
+        wsum = None
+        for p in range(P):
+            k = l * P + p
+            py = py_ref[0, :, k : k + 1]
+            px = px_ref[0, :, k : k + 1]
+            aw = aw_ref[0, :, k : k + 1]
+            wy = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0)
+            wx = jnp.maximum(1.0 - jnp.abs(px - sx), 0.0)
+            Gx = jax.lax.dot_general(  # (Qt, 128): row-folded wx*G
+                wx * G, kc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            Gy = jax.lax.dot_general(  # (Qt, 128): col-folded wy*G
+                wy * G, kr, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            term = aw * (wy * wx)
+            wsum = term if wsum is None else wsum + term
+            # per-axis tent factors on the tiny (Qt, 128) coord axis: every
+            # token of a level's grid row r shares wy == ay[q, r]
+            dyr = py - rc
+            dxc = px - rc
+            ay = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)
+            sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+            sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+            daw_cols.append(redsmall(ay * Gx))
+            dpy_cols.append(-aw * redsmall(sgny * Gx))
+            dpx_cols.append(-aw * redsmall(sgnx * Gy))
+        ws_ref[:, off : off + seg] = wsum.astype(ws_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        ws_ref[...], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(dv_ref.dtype)
+    dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
+    dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
+    daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
 
 
 def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
@@ -342,15 +452,26 @@ def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
 
 
-def _bwd_pallas_call(spatial_shapes, P, Lq, pyb, pxb, awb, sy, sx, vp, gb):
+def _bwd_pallas_call(spatial_shapes, P, Lq, separable, pyb, pxb, awb, sy, sx,
+                     *rest):
+    if separable:
+        kc, kr, vp, gb = rest
+    else:
+        vp, gb = rest
     L = len(spatial_shapes)
     LP = L * P
     _, seg, offs, S_pad = _level_plan(spatial_shapes)
     BM, Lq_pad, _ = pyb.shape
     D = vp.shape[2]
     Qt = min(Q_TILE, _round_up(Lq, 8))
+    body = _bwd_kernel_sep if separable else _bwd_kernel
     kernel = functools.partial(
-        _bwd_kernel, tuple(zip(offs, seg)), P, _precision(vp.dtype), vp.dtype,
+        body, tuple(zip(offs, seg)), P, _precision(vp.dtype), vp.dtype,
+    )
+    fold_specs = (
+        [pl.BlockSpec((1, S_pad, 128), lambda bm, q: (0, 0, 0),
+                      memory_space=pltpu.VMEM)] * 2
+        if separable else []
     )
     return pl.pallas_call(
         kernel,
@@ -358,6 +479,7 @@ def _bwd_pallas_call(spatial_shapes, P, Lq, pyb, pxb, awb, sy, sx, vp, gb):
         in_specs=[
             _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
             _const_spec(S_pad), _const_spec(S_pad),
+            *fold_specs,
             _v_spec(S_pad, D),
             pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM),
         ],
@@ -374,20 +496,36 @@ def _bwd_pallas_call(spatial_shapes, P, Lq, pyb, pxb, awb, sy, sx, vp, gb):
         scratch_shapes=[pltpu.VMEM((Qt, S_pad), vp.dtype)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(pyb, pxb, awb, sy, sx, vp, gb)
+    )(pyb, pxb, awb, sy, sx, *rest)
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(spatial_shapes, P, Lq):
+def _bwd_partitioned(spatial_shapes, P, Lq, separable):
     """Batch-dim custom partitioning for the backward kernel (see
-    `_fwd_partitioned`)."""
+    `_fwd_partitioned`). The separable variant carries two extra constant
+    fold-map operands (leading dim 1 => fully replicated)."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    raw = functools.partial(_bwd_pallas_call, spatial_shapes, P, Lq)
+    raw = functools.partial(_bwd_pallas_call, spatial_shapes, P, Lq, separable)
 
-    @custom_partitioning
-    def call(pyb, pxb, awb, sy, sx, vp, gb):
-        return raw(pyb, pxb, awb, sy, sx, vp, gb)
+    if separable:
+        @custom_partitioning
+        def call(pyb, pxb, awb, sy, sx, kc, kr, vp, gb):
+            return raw(pyb, pxb, awb, sy, sx, kc, kr, vp, gb)
+
+        rule = (
+            "b q k, b q k2, b q k3, o s, o2 s2, o3 s5 c, o4 s6 c2, "
+            "b s3 d, b q2 d2 -> b s4 d3, b q3 k4, b q4 k5, b q5 k6"
+        )
+    else:
+        @custom_partitioning
+        def call(pyb, pxb, awb, sy, sx, vp, gb):
+            return raw(pyb, pxb, awb, sy, sx, vp, gb)
+
+        rule = (
+            "b q k, b q k2, b q k3, o s, o2 s2, b s3 d, b q2 d2 "
+            "-> b s4 d3, b q3 k4, b q4 k5, b q5 k6"
+        )
 
     def partition(mesh, arg_shapes, result_shape):
         arg_sh, res_sh = _batch_partition_specs(mesh, arg_shapes, result_shape)
@@ -400,10 +538,7 @@ def _bwd_partitioned(spatial_shapes, P, Lq):
     call.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        sharding_rule=(
-            "b q k, b q k2, b q k3, o s, o2 s2, b s3 d, b q2 d2 "
-            "-> b s4 d3, b q3 k4, b q4 k5, b q5 k6"
-        ),
+        sharding_rule=rule,
     )
     return call
 
@@ -435,8 +570,13 @@ def _msda_pallas_bwd(spatial_shapes, dims, res, g):
     gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
 
     sy_np, sx_np = _grid_maps(spatial_shapes)
-    dv, dpy, dpx, daw = _bwd_partitioned(spatial_shapes, P, Lq)(
-        pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp, gb
+    separable = _separable_ok(spatial_shapes)
+    extras = ()
+    if separable:
+        kc_np, kr_np = _fold_maps(spatial_shapes)
+        extras = (jnp.asarray(kc_np), jnp.asarray(kr_np))
+    dv, dpy, dpx, daw = _bwd_partitioned(spatial_shapes, P, Lq, separable)(
+        pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), *extras, vp, gb
     )
 
     # dvalue: unpad level segments, restore (B, S, M, D)
