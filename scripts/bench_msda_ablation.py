@@ -21,6 +21,16 @@ kernel body in isolation to locate where Mosaic burns the extra 3.6x:
             the big-plane VPU work drops to ~4 ops/point
   fwd       production forward kernel (baseline)
   fwdsepx   forward with both tent planes via MXU expansion dots
+  fwdfac    FULLY-FACTORIZED forward: no (Qt, seg) plane is ever built.
+            Per level, the 4 points' row tents stack into Ay (4Qt, 128);
+            T = Ay @ Vrow pulls row-combined values in (col*D) lane space;
+            Axe = Awx @ E expands the aw-scaled col tents over D lanes;
+            out = (Axe * T) @ F folds (c, d) -> d. 3 MXU dots per level,
+            VPU work only on (4Qt, 128) tent factors and one (4Qt, w*D)
+            product — the ~11-op dense plane construction disappears.
+  bwdfac    same factorization for the backward: dVrow = Ay^T @ (aw*Axg),
+            daw = rowsum(Axg * T), dpy from Q = Axg @ VrowT, dpx from
+            R = fold_c(Gexp * T); no G_all plane, no wsum plane.
 
 Usage: python scripts/bench_msda_ablation.py [--check] [variant ...]
 """
@@ -49,6 +59,7 @@ def build(variant, spatial_shapes, dims, dtype):
     Qt = min(mp.Q_TILE, mp._round_up(Lq, 8))
     plan = tuple(zip(offs, seg))
     prec = mp._precision(dtype)
+    vdt = dtype
 
     # separable-tent fold maps: Kc folds a level's flattened (r, c) token
     # axis over c (keeping r), Kr folds over r (keeping c). 0/1 constants;
@@ -239,6 +250,242 @@ def build(variant, spatial_shapes, dims, dtype):
                 interpret=mp._interpret(),
             )(pyb, pxb, awb, jnp.asarray(Kc_np), jnp.asarray(Kr_np),
               jnp.asarray(Er_np), jnp.asarray(Ec_np), vp, gb)
+
+        return call
+
+    # ---- fully-factorized (row-space) variants -------------------------
+    # Per level the bilinear hat factorizes hat = ay(row) * ax(col); all of
+    # a level's tokens live in a (row, col*D) "Vrow" table, so every big
+    # object is an MXU dot in (Qt*P, w*D) lane space and the only VPU work
+    # is (Qt*P, 128) tent factors + a few elementwise products. No
+    # (Qt, seg) hat plane is ever materialized.
+    def _rowspace():
+        wd_sizes = [mp._round_up(w * D, 128) for h, w in spatial_shapes]
+        wd_offs = np.cumsum([0] + wd_sizes[:-1]).astype(int).tolist()
+        WD = int(sum(wd_sizes))
+        Dp = max(8, D)
+        E = np.zeros((128, WD), np.float32)   # col factor -> (c, d) lanes
+        F = np.zeros((WD, 128), np.float32)   # (c, d) -> d fold (output)
+        Fc = np.zeros((WD, 128), np.float32)  # (c, d) -> c fold
+        Tg = np.zeros((Dp, WD), np.float32)   # d -> (c, d) expand (for g)
+        for (h, w), woff in zip(spatial_shapes, wd_offs):
+            for c in range(w):
+                E[c, woff + c * D : woff + (c + 1) * D] = 1.0
+                Fc[woff + c * D : woff + (c + 1) * D, c] = 1.0
+                for dd in range(D):
+                    F[woff + c * D + dd, dd] = 1.0
+                    Tg[dd, woff + c * D + dd] = 1.0
+        return wd_sizes, wd_offs, WD, Dp, E, F, Fc, Tg
+
+    if variant in ("fwdfac", "bwdfac"):
+        wd_sizes, wd_offs, WD, Dp, E_np, F_np, Fc_np, Tg_np = _rowspace()
+        rplan = tuple(zip(wd_offs, wd_sizes))
+
+        def make_vrow(vp):  # (BM, S_pad, D) -> (BM, 128, WD) row tables
+            parts = []
+            for (h, w), sz, off, wd in zip(spatial_shapes, sizes, offs,
+                                           wd_sizes):
+                vl = vp[:, off : off + sz, :].reshape(-1, h, w * D)
+                parts.append(jnp.pad(vl, ((0, 0), (0, 128 - h),
+                                          (0, wd - w * D))))
+            return jnp.concatenate(parts, axis=2)
+
+        def unrow(dvrow):  # (BM, 128, WD) -> (BM, S_pad, D)
+            chunks = []
+            for (h, w), sz, sg, wd, woff in zip(spatial_shapes, sizes, seg,
+                                                wd_sizes, wd_offs):
+                vl = dvrow[:, :h, woff : woff + w * D].reshape(-1, sz, D)
+                chunks.append(jnp.pad(vl, ((0, 0), (0, sg - sz), (0, 0))))
+            return jnp.concatenate(chunks, axis=1)
+
+    def kernel_fwdfac(py_ref, px_ref, aw_ref, e_ref, f_ref, vrow_ref,
+                      out_ref, ay_scr, awx_scr):
+        rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        Z = None
+        for l, (woff, wd) in enumerate(rplan):
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                ay_scr[p * Qt : (p + 1) * Qt, :] = jnp.maximum(
+                    1.0 - jnp.abs(py - rc), 0.0).astype(ay_scr.dtype)
+                awx_scr[p * Qt : (p + 1) * Qt, :] = (
+                    aw * jnp.maximum(1.0 - jnp.abs(px - rc), 0.0)
+                ).astype(awx_scr.dtype)
+            T = jax.lax.dot_general(  # (P*Qt, wd) row-combined values
+                ay_scr[...], vrow_ref[0][:, woff : woff + wd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            Axe = jax.lax.dot_general(  # (P*Qt, wd) aw*ax over D lanes
+                awx_scr[...], e_ref[:, woff : woff + wd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            Zl = jax.lax.dot_general(  # fold (c, d) -> d
+                (Axe * T).astype(vdt), f_ref[woff : woff + wd, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            Z = Zl if Z is None else Z + Zl
+        o = Z[0:Qt]
+        for p in range(1, P):
+            o = o + Z[p * Qt : (p + 1) * Qt]
+        out_ref[0] = o[:, :D].astype(out_ref.dtype)
+
+    if variant == "fwdfac":
+        def call(pyb, pxb, awb, vp, gb):
+            del gb
+            Lq_pad = pyb.shape[1]
+            vrow = make_vrow(vp)
+            big = lambda r, c: pl.BlockSpec((r, c), lambda bm, q: (0, 0),
+                                            memory_space=pltpu.VMEM)
+            out = pl.pallas_call(
+                kernel_fwdfac,
+                grid=(B * M, Lq_pad // Qt),
+                in_specs=[
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                    big(128, WD), big(WD, 128),
+                    pl.BlockSpec((1, 128, WD), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B * M, Lq_pad, D), vp.dtype),
+                scratch_shapes=[pltpu.VMEM((P * Qt, 128), vp.dtype),
+                                pltpu.VMEM((P * Qt, 128), vp.dtype)],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyb, pxb, awb, jnp.asarray(E_np, vp.dtype),
+              jnp.asarray(F_np, vp.dtype), vrow)
+            return (out,)
+
+        return call
+
+    def kernel_bwdfac(py_ref, px_ref, aw_ref, e_ref, fc_ref, tg_ref,
+                      vrow_ref, vrowT_ref, g_ref, dvrow_ref, dpy_ref,
+                      dpx_ref, daw_ref, ay_scr, ax_scr, g4_scr, axg_scr,
+                      h_scr):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dvrow_ref[...] = jnp.zeros(dvrow_ref.shape, dvrow_ref.dtype)
+
+        def redsmall(x):  # (P*Qt, 128) -> (P*Qt, 1) on the MXU
+            return jax.lax.dot_general(
+                x.astype(vdt), jnp.ones((128, 8), vdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)[:, :1]
+
+        rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        g = g_ref[0]
+        for p in range(P):
+            g4_scr[p * Qt : (p + 1) * Qt, :] = g
+        dpy_cols, dpx_cols, daw_cols = [], [], []
+        for l, (woff, wd) in enumerate(rplan):
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                ay_scr[p * Qt : (p + 1) * Qt, :] = jnp.maximum(
+                    1.0 - jnp.abs(py - rc), 0.0).astype(ay_scr.dtype)
+                ax_scr[p * Qt : (p + 1) * Qt, :] = jnp.maximum(
+                    1.0 - jnp.abs(px - rc), 0.0).astype(ax_scr.dtype)
+            T = jax.lax.dot_general(  # (P*Qt, wd) fwd recompute
+                ay_scr[...], vrow_ref[0][:, woff : woff + wd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            Axe = jax.lax.dot_general(  # ax over D lanes
+                ax_scr[...], e_ref[:, woff : woff + wd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            Gexp = jax.lax.dot_general(  # g over c lanes
+                g4_scr[...], tg_ref[:, woff : woff + wd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            axg = Axe * Gexp  # Axg[q,(c,d)] = ax[q,c] g[q,d]
+            axg_scr[:, :wd] = axg.astype(axg_scr.dtype)
+            for p in range(P):
+                aw = aw_ref[0, :, l * P + p : l * P + p + 1]
+                h_scr[p * Qt : (p + 1) * Qt, :wd] = (
+                    aw * axg[p * Qt : (p + 1) * Qt]
+                ).astype(h_scr.dtype)
+            dvrow_ref[0, :, woff : woff + wd] += jax.lax.dot_general(
+                ay_scr[...], h_scr[:, :wd], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dvrow_ref.dtype)
+            daw_all = jax.lax.dot_general(  # rowsum(Axg * T)
+                (axg * T).astype(vdt), jnp.ones((wd, 8), vdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)[:, :1]
+            Q = jax.lax.dot_general(  # (P*Qt, 128) row-space grad field
+                axg_scr[:, :wd], vrowT_ref[0][woff : woff + wd, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            R = jax.lax.dot_general(  # (P*Qt, 128) col-space grad field
+                (Gexp * T).astype(vdt), fc_ref[woff : woff + wd, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                dyr = py - rc
+                dxc = px - rc
+                sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+                sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+                sl = slice(p * Qt, (p + 1) * Qt)
+                daw_cols.append(daw_all[sl])
+                dpy_cols.append(-aw * redsmall(sgny * Q[sl]))
+                dpx_cols.append(-aw * redsmall(sgnx * R[sl]))
+        dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
+        dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
+        daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
+
+    if variant == "bwdfac":
+        WDmax = max(wd_sizes)
+
+        def call(pyb, pxb, awb, vp, gb):
+            Lq_pad = pyb.shape[1]
+            vrow = make_vrow(vp)
+            vrowT = jnp.swapaxes(vrow, 1, 2)
+            big = lambda r, c: pl.BlockSpec((r, c), lambda bm, q: (0, 0),
+                                            memory_space=pltpu.VMEM)
+            dvrow, dpy, dpx, daw = pl.pallas_call(
+                kernel_bwdfac,
+                grid=(B * M, Lq_pad // Qt),
+                in_specs=[
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                    big(128, WD), big(WD, 128), big(Dp, WD),
+                    pl.BlockSpec((1, 128, WD), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, WD, 128), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, 128, WD), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B * M, 128, WD), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((P * Qt, 128), vp.dtype),
+                    pltpu.VMEM((P * Qt, 128), vp.dtype),
+                    pltpu.VMEM((P * Qt, max(8, D)), vp.dtype),
+                    pltpu.VMEM((P * Qt, WDmax), vp.dtype),
+                    pltpu.VMEM((P * Qt, WDmax), vp.dtype),
+                ],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyb, pxb, awb, jnp.asarray(E_np, vp.dtype),
+              jnp.asarray(Fc_np, vp.dtype), jnp.asarray(Tg_np, vp.dtype),
+              vrow, vrowT, gb)
+            return unrow(dvrow), dpy, dpx, daw
 
         return call
 

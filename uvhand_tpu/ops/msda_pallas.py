@@ -187,7 +187,7 @@ def _bwd_kernel_sep(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref,
         return jax.lax.dot_general(
             x, jnp.ones((128, 8), jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )[:, :1]
 
     g = g_ref[0]  # (Qt, D)
@@ -255,7 +255,7 @@ def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
         return jax.lax.dot_general(
             x, jnp.ones((x.shape[1], 8), jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )[:, :1]
 
     g = g_ref[0]  # (Qt, D)
