@@ -31,6 +31,11 @@ kernel body in isolation to locate where Mosaic burns the extra 3.6x:
   bwdfac    same factorization for the backward: dVrow = Ay^T @ (aw*Axg),
             daw = rowsum(Axg * T), dpy from Q = Axg @ VrowT, dpx from
             R = fold_c(Gexp * T); no G_all plane, no wsum plane.
+  fwdfac2   fwdfac with all levels consolidated into block-diagonal
+            operands (K = L*128 rows, WD lanes): the WHOLE forward is 3
+            MXU dots + 1 product — tests the per-dot-overhead hypothesis.
+  bwdfac2   bwdfac consolidated the same way: 9 dots total; the per-point
+            reductions batch into lane-block fold maps.
 
 Usage: python scripts/bench_msda_ablation.py [--check] [variant ...]
 """

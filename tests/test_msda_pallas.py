@@ -116,14 +116,14 @@ def test_pallas_bf16(rng):
     np.testing.assert_allclose(b16, f32, atol=3e-3)
 
 
-def test_pallas_separable_vs_dense_backward(rng, monkeypatch):
-    """The separable-tent backward (production for all level dims <= 128)
-    must produce the same gradients as the dense-reduction fallback.
+def test_pallas_backward_variants_agree(rng, monkeypatch):
+    """The three backward formulations — fully-factorized (production),
+    separable-tent, and dense-reduction — must produce the same gradients.
 
     JAX memoizes the traced custom-VJP backward per (fn, avals), so the
-    UVHAND_MSDA_SEP_BWD knob only takes effect on a fresh trace — clear the
-    tracing caches between the two runs (the knob is likewise documented as
-    set-before-first-use in production)."""
+    UVHAND_MSDA_FAC / UVHAND_MSDA_SEP_BWD knobs only take effect on a fresh
+    trace — clear the tracing caches between runs (the knobs are likewise
+    documented as set-before-first-use in production)."""
     from uvhand_tpu.ops import msda_pallas
 
     shapes = ((8, 8), (4, 4))
@@ -131,23 +131,30 @@ def test_pallas_separable_vs_dense_backward(rng, monkeypatch):
     g = rng.standard_normal((2, 37, 4 * 16)).astype(np.float32)
     args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
 
-    def grads(sep_env):
+    def grads(fac_env, sep_env):
         jax.clear_caches()
         msda_pallas._bwd_partitioned.cache_clear()
+        msda_pallas._bwd_fac_partitioned.cache_clear()
+        monkeypatch.setenv("UVHAND_MSDA_FAC", fac_env)
         monkeypatch.setenv("UVHAND_MSDA_SEP_BWD", sep_env)
 
         def f(v, l, a):
             return jnp.sum(
                 ms_deform_attn(v, shapes, l, a, impl="pallas") * jnp.asarray(g)
             )
-        assert msda_pallas._separable_ok(shapes) == (sep_env == "1")
         out = jax.grad(f, argnums=(0, 1, 2))(*args)
         # a fresh trace must have built exactly the requested kernel variant
-        assert msda_pallas._bwd_partitioned.cache_info().currsize == 1
+        fac = fac_env == "1"
+        assert msda_pallas._bwd_fac_partitioned.cache_info().currsize == int(fac)
+        assert msda_pallas._bwd_partitioned.cache_info().currsize == int(not fac)
         return out
 
-    sep = grads("1")
-    dense = grads("0")
+    fac = grads("1", "1")
+    sep = grads("0", "1")
+    dense = grads("0", "0")
+    for a, b in zip(fac, sep):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
     for a, b in zip(sep, dense):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
@@ -160,6 +167,7 @@ def test_pallas_large_level_falls_back_to_dense(rng):
 
     shapes = ((2, 130),)
     assert not msda_pallas._separable_ok(shapes)
+    assert not msda_pallas._fac_ok(shapes, 8)
     value, loc, attn = make_inputs(rng, b=1, lq=9, m=2, d=8, p=2, shapes=shapes)
     g = rng.standard_normal((1, 9, 2 * 8)).astype(np.float32)
 

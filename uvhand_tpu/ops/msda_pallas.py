@@ -115,6 +115,57 @@ def _fold_maps(spatial_shapes: Tuple[Tuple[int, int], ...]):
     return Kc, Kr
 
 
+@functools.lru_cache(maxsize=None)
+def _rowspace_plan(spatial_shapes: Tuple[Tuple[int, int], ...], D: int):
+    """Lane plan for the fully-factorized kernels: each level's tokens are
+    laid out as a (row, col*D) table; per-level lane blocks are padded to
+    the 128-lane tile so in-kernel lane slicing stays aligned."""
+    wd_sizes = tuple(_round_up(w * D, 128) for h, w in spatial_shapes)
+    wd_offs = tuple(int(o) for o in np.cumsum((0,) + wd_sizes[:-1]))
+    return wd_sizes, wd_offs, int(sum(wd_sizes)), max(8, D)
+
+
+@functools.lru_cache(maxsize=None)
+def _rowspace_maps(spatial_shapes: Tuple[Tuple[int, int], ...], D: int):
+    """Constant 0/1 maps for the factorized kernels (all leading-dim-1 so
+    the SPMD partitioner replicates them):
+      E  (1, 128, WD): col-factor -> (c, d) lane expand
+      F  (1, WD, 128): (c, d) -> d fold (forward output)
+      Fc (1, WD, 128): (c, d) -> c fold (dpx)
+      Tg (1, Dp, WD):  d -> (c, d) expand (for the incoming gradient)
+    Lane slots past a level's real w*D stay all-zero, which reproduces
+    grid_sample's zero padding exactly."""
+    wd_sizes, wd_offs, WD, Dp = _rowspace_plan(spatial_shapes, D)
+    E = np.zeros((1, 128, WD), np.float32)
+    F = np.zeros((1, WD, 128), np.float32)
+    Fc = np.zeros((1, WD, 128), np.float32)
+    Tg = np.zeros((1, Dp, WD), np.float32)
+    for (h, w), woff in zip(spatial_shapes, wd_offs):
+        for c in range(w):
+            E[0, c, woff + c * D : woff + (c + 1) * D] = 1.0
+            Fc[0, woff + c * D : woff + (c + 1) * D, c] = 1.0
+            dd = np.arange(D)
+            F[0, woff + c * D + dd, dd] = 1.0
+            Tg[0, dd, woff + c * D + dd] = 1.0
+    return E, F, Fc, Tg
+
+
+def _fac_ok(spatial_shapes, D) -> bool:
+    # UVHAND_MSDA_FAC=1 opts into the fully-factorized kernels (like
+    # UVHAND_MSDA_SEP_BWD it must be set before the first trace). Default
+    # OFF: on the real chip they measure 33.0 ms fwd / 16.3 ms bwd vs the
+    # production 5.7 / 9.2 (scripts/bench_msda_ablation.py, PERF.md round 3)
+    # — the 128-row MXU expansion does ~64x the tent's true 2-row support,
+    # and even its theoretical floor doesn't beat the separable kernels.
+    if os.environ.get("UVHAND_MSDA_FAC", "0") != "1":
+        return False
+    wd_sizes, _, WD, _ = _rowspace_plan(spatial_shapes, D)
+    return (
+        all(h <= 128 and w <= 128 for h, w in spatial_shapes)
+        and WD <= 4096
+    )
+
+
 def _separable_ok(spatial_shapes) -> bool:
     # UVHAND_MSDA_SEP_BWD=0 forces the dense-reduction backward (A/B knob).
     # Set it BEFORE the first backward trace: JAX memoizes the traced
@@ -304,12 +355,145 @@ def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
     daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
 
 
+def _fwd_kernel_fac(rplan, P, prec, vdt, py_ref, px_ref, aw_ref, e_ref,
+                    f_ref, vrow_ref, out_ref, ay_scr, awx_scr):
+    """Fully-factorized forward (round-3 ablation `fwdfac`): no (Qt, seg)
+    hat plane is ever built. Per level the P points' row tents stack into
+    Ay (P*Qt, 128); T = Ay @ Vrow row-combines values in (col*D) lane
+    space; Axe = Awx @ E expands the aw-scaled col tents over D lanes; the
+    output is (Axe * T) @ F folded (c, d) -> d. Three MXU dots per level —
+    the dense plane's ~11 VPU ops per (q, token) disappear."""
+    rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+    Qt = py_ref.shape[1]
+    Z = None
+    for l, (woff, wd) in enumerate(rplan):
+        for p in range(P):
+            k = l * P + p
+            py = py_ref[0, :, k : k + 1]
+            px = px_ref[0, :, k : k + 1]
+            aw = aw_ref[0, :, k : k + 1]
+            ay_scr[p * Qt : (p + 1) * Qt, :] = jnp.maximum(
+                1.0 - jnp.abs(py - rc), 0.0).astype(ay_scr.dtype)
+            awx_scr[p * Qt : (p + 1) * Qt, :] = (
+                aw * jnp.maximum(1.0 - jnp.abs(px - rc), 0.0)
+            ).astype(awx_scr.dtype)
+        T = jax.lax.dot_general(  # (P*Qt, wd) row-combined values
+            ay_scr[...], vrow_ref[0, :, woff : woff + wd],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        Axe = jax.lax.dot_general(  # (P*Qt, wd) aw*ax over D lanes
+            awx_scr[...], e_ref[0, :, woff : woff + wd],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        Zl = jax.lax.dot_general(  # fold (c, d) -> d
+            (Axe * T).astype(vdt), f_ref[0, woff : woff + wd, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        Z = Zl if Z is None else Z + Zl
+    o = Z[0:Qt]
+    for p in range(1, P):
+        o = o + Z[p * Qt : (p + 1) * Qt]
+    out_ref[0] = o[:, : out_ref.shape[2]].astype(out_ref.dtype)
+
+
+def _bwd_kernel_fac(rplan, P, D, prec, vdt, py_ref, px_ref, aw_ref, e_ref,
+                    fc_ref, tg_ref, vrow_ref, vrowT_ref, g_ref, dvrow_ref,
+                    dpy_ref, dpx_ref, daw_ref, ay_scr, ax_scr, g4_scr,
+                    axg_scr, h_scr):
+    """Fully-factorized backward (round-3 ablation `bwdfac`):
+        dVrow_l = Ay^T @ (aw * Axg)      Axg[q,(c,d)] = ax[q,c] g[q,d]
+        daw     = rowsum(Axg * T)        T = Ay @ Vrow (fwd recompute)
+        dpy     = -aw * sum_r sgn_y * Q  Q = Axg @ VrowT
+        dpx     = -aw * sum_c sgn_x * R  R = fold_c(Gexp * T)
+    No G_all plane, no wsum plane, no (Qt, seg) objects at all."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dvrow_ref[...] = jnp.zeros(dvrow_ref.shape, dvrow_ref.dtype)
+
+    def redsmall(x):  # (P*Qt, 128) -> (P*Qt, 1) on the MXU
+        return jax.lax.dot_general(
+            x.astype(vdt), jnp.ones((128, 8), vdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)[:, :1]
+
+    rc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+    Qt = py_ref.shape[1]
+    g = g_ref[0]
+    Dp = g4_scr.shape[1]
+    for p in range(P):
+        g4_scr[p * Qt : (p + 1) * Qt, :] = (
+            g if Dp == D else jnp.pad(g, ((0, 0), (0, Dp - D)))
+        ).astype(g4_scr.dtype)
+    dpy_cols, dpx_cols, daw_cols = [], [], []
+    for l, (woff, wd) in enumerate(rplan):
+        for p in range(P):
+            k = l * P + p
+            py = py_ref[0, :, k : k + 1]
+            px = px_ref[0, :, k : k + 1]
+            ay_scr[p * Qt : (p + 1) * Qt, :] = jnp.maximum(
+                1.0 - jnp.abs(py - rc), 0.0).astype(ay_scr.dtype)
+            ax_scr[p * Qt : (p + 1) * Qt, :] = jnp.maximum(
+                1.0 - jnp.abs(px - rc), 0.0).astype(ax_scr.dtype)
+        T = jax.lax.dot_general(  # (P*Qt, wd) fwd recompute
+            ay_scr[...], vrow_ref[0, :, woff : woff + wd],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        Axe = jax.lax.dot_general(  # ax over D lanes
+            ax_scr[...], e_ref[0, :, woff : woff + wd],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        Gexp = jax.lax.dot_general(  # g over c lanes
+            g4_scr[...], tg_ref[0, :, woff : woff + wd],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        axg = Axe * Gexp
+        axg_scr[:, :wd] = axg.astype(axg_scr.dtype)
+        for p in range(P):
+            aw = aw_ref[0, :, l * P + p : l * P + p + 1]
+            h_scr[p * Qt : (p + 1) * Qt, :wd] = (
+                aw * axg[p * Qt : (p + 1) * Qt]
+            ).astype(h_scr.dtype)
+        dvrow_ref[0, :, woff : woff + wd] += jax.lax.dot_general(
+            ay_scr[...], h_scr[:, :wd], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dvrow_ref.dtype)
+        daw_all = jax.lax.dot_general(  # rowsum(Axg * T)
+            (axg * T).astype(vdt), jnp.ones((wd, 8), vdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)[:, :1]
+        Q = jax.lax.dot_general(  # (P*Qt, 128) row-space grad field
+            axg_scr[:, :wd], vrowT_ref[0, woff : woff + wd, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        R = jax.lax.dot_general(  # (P*Qt, 128) col-space grad field
+            (Gexp * T).astype(vdt), fc_ref[0, woff : woff + wd, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        for p in range(P):
+            k = l * P + p
+            py = py_ref[0, :, k : k + 1]
+            px = px_ref[0, :, k : k + 1]
+            aw = aw_ref[0, :, k : k + 1]
+            dyr = py - rc
+            dxc = px - rc
+            sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+            sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+            sl = slice(p * Qt, (p + 1) * Qt)
+            daw_cols.append(daw_all[sl])
+            dpy_cols.append(-aw * redsmall(sgny * Q[sl]))
+            dpx_cols.append(-aw * redsmall(sgnx * R[sl]))
+    dpy_ref[0] = jnp.concatenate(dpy_cols, axis=1)
+    dpx_ref[0] = jnp.concatenate(dpx_cols, axis=1)
+    daw_ref[0] = jnp.concatenate(daw_cols, axis=1)
+
+
 # ------------------------------------------------------------- layout glue
 
 
-def _layouts(spatial_shapes, value, loc, attn):
+def _layouts(spatial_shapes, value, loc, attn, fac=False):
     """XLA-side layout prep (transposes/pads); shared fwd path, passed to
-    the backward as residuals so it is never recomputed."""
+    the backward as residuals so it is never recomputed. With `fac` the
+    value table comes back in the factorized kernels' row-space layout."""
     B, S, M, D = value.shape
     Lq, P = loc.shape[1], loc.shape[4]
     L = len(spatial_shapes)
@@ -331,6 +515,8 @@ def _layouts(spatial_shapes, value, loc, attn):
     awb = to_bm(attn.astype(jnp.float32))
 
     vt = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
+    if fac:
+        return pyb, pxb, awb, _make_vrow(spatial_shapes, vt)
     parts, cur = [], 0
     for sz, sg in zip(sizes, seg):
         part = jax.lax.slice_in_dim(vt, cur, cur + sz, axis=1)
@@ -338,6 +524,35 @@ def _layouts(spatial_shapes, value, loc, attn):
         cur += sz
     vp = jnp.concatenate(parts, axis=1)  # (B*M, S_pad, D)
     return pyb, pxb, awb, vp
+
+
+def _make_vrow(spatial_shapes, vt):
+    """(B*M, S, D) value tokens -> (B*M, 128, WD) per-level row tables for
+    the factorized kernels: level l's grid row r occupies sublane r of lane
+    block l, with its w cells' D channels laid out contiguously."""
+    BM, S, D = vt.shape
+    wd_sizes, _, _, _ = _rowspace_plan(spatial_shapes, D)
+    parts, cur = [], 0
+    for (h, w), wd in zip(spatial_shapes, wd_sizes):
+        sz = h * w
+        vl = jax.lax.slice_in_dim(vt, cur, cur + sz, axis=1)
+        vl = vl.reshape(BM, h, w * D)
+        parts.append(jnp.pad(vl, ((0, 0), (0, 128 - h), (0, wd - w * D))))
+        cur += sz
+    return jnp.concatenate(parts, axis=2)
+
+
+def _unrow(spatial_shapes, dvrow, D):
+    """(B*M, 128, WD) row-table gradient -> (B*M, S, D) token gradient."""
+    BM = dvrow.shape[0]
+    wd_sizes, wd_offs, _, _ = _rowspace_plan(spatial_shapes, D)
+    chunks = []
+    for (h, w), wd, woff in zip(spatial_shapes, wd_sizes, wd_offs):
+        vl = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(dvrow, woff, woff + w * D, axis=2),
+            0, h, axis=1)
+        chunks.append(vl.reshape(BM, h * w, D))
+    return jnp.concatenate(chunks, axis=1)
 
 
 def _q_spec(Qt, LP):
@@ -442,14 +657,169 @@ def _fwd_partitioned(spatial_shapes, P, Lq, out_dtype_name):
     return call
 
 
-def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, out_dtype):
+def _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vtab, out_dtype, fac):
     B, S, M, D, Lq, P = dims
-    sy_np, sx_np = _grid_maps(spatial_shapes)
-    out = _fwd_partitioned(spatial_shapes, P, Lq, jnp.dtype(out_dtype).name)(
-        pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vp
-    )
+    name = jnp.dtype(out_dtype).name
+    if fac:
+        E_np, F_np, _, _ = _rowspace_maps(spatial_shapes, D)
+        dt = vtab.dtype
+        out = _fwd_fac_partitioned(spatial_shapes, P, Lq, D, name)(
+            pyb, pxb, awb, jnp.asarray(E_np, dt), jnp.asarray(F_np, dt), vtab
+        )
+    else:
+        sy_np, sx_np = _grid_maps(spatial_shapes)
+        out = _fwd_partitioned(spatial_shapes, P, Lq, name)(
+            pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), vtab
+        )
     out = out[:, :Lq].reshape(B, M, Lq, D)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Lq, M * D)
+
+
+def _map_spec(r, c):
+    """Replicated constant-map operand: leading dim 1."""
+    return pl.BlockSpec((1, r, c), lambda bm, q: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_fac_pallas_call(spatial_shapes, P, Lq, D, out_dtype_name,
+                         pyb, pxb, awb, e, f, vrow):
+    LP = len(spatial_shapes) * P
+    wd_sizes, wd_offs, WD, _ = _rowspace_plan(spatial_shapes, D)
+    BM, Lq_pad, _ = pyb.shape
+    Qt = min(Q_TILE, _round_up(Lq, 8))
+    kernel = functools.partial(
+        _fwd_kernel_fac, tuple(zip(wd_offs, wd_sizes)), P,
+        _precision(vrow.dtype), vrow.dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(BM, Lq_pad // Qt),
+        in_specs=[
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+            _map_spec(128, WD), _map_spec(WD, 128),
+            pl.BlockSpec((1, 128, WD), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Qt, D), lambda bm, q: (bm, q, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BM, Lq_pad, D),
+                                       jnp.dtype(out_dtype_name)),
+        scratch_shapes=[pltpu.VMEM((P * Qt, 128), vrow.dtype),
+                        pltpu.VMEM((P * Qt, 128), vrow.dtype)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(pyb, pxb, awb, e, f, vrow)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_fac_partitioned(spatial_shapes, P, Lq, D, out_dtype_name):
+    """Batch-dim custom partitioning for the factorized forward (see
+    `_fwd_partitioned`); the constant maps are leading-dim-1 => replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    raw = functools.partial(_fwd_fac_pallas_call, spatial_shapes, P, Lq, D,
+                            out_dtype_name)
+
+    @custom_partitioning
+    def call(pyb, pxb, awb, e, f, vrow):
+        return raw(pyb, pxb, awb, e, f, vrow)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh = _batch_partition_specs(mesh, arg_shapes, result_shape)
+        return mesh, raw, res_sh, arg_sh
+
+    def infer(mesh, arg_shapes, shape):
+        _, res_sh = _batch_partition_specs(mesh, arg_shapes, shape)
+        return res_sh
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b q k, b q k2, b q k3, o r wd, o2 wd2 c, b r2 wd3 -> b q4 d"
+        ),
+    )
+    return call
+
+
+def _bwd_fac_pallas_call(spatial_shapes, P, Lq, D, pyb, pxb, awb, e, fc, tg,
+                         vrow, vrowT, gb):
+    LP = len(spatial_shapes) * P
+    wd_sizes, wd_offs, WD, Dp = _rowspace_plan(spatial_shapes, D)
+    BM, Lq_pad, _ = pyb.shape
+    Qt = min(Q_TILE, _round_up(Lq, 8))
+    WDmax = max(wd_sizes)
+    vdt = vrow.dtype
+    kernel = functools.partial(
+        _bwd_kernel_fac, tuple(zip(wd_offs, wd_sizes)), P, D,
+        _precision(vdt), vdt,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(BM, Lq_pad // Qt),
+        in_specs=[
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+            _map_spec(128, WD), _map_spec(WD, 128), _map_spec(Dp, WD),
+            pl.BlockSpec((1, 128, WD), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WD, 128), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 128, WD), lambda bm, q: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BM, 128, WD), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((P * Qt, 128), vdt),
+            pltpu.VMEM((P * Qt, 128), vdt),
+            pltpu.VMEM((P * Qt, Dp), vdt),
+            pltpu.VMEM((P * Qt, WDmax), vdt),
+            pltpu.VMEM((P * Qt, WDmax), vdt),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(pyb, pxb, awb, e, fc, tg, vrow, vrowT, gb)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_fac_partitioned(spatial_shapes, P, Lq, D):
+    """Batch-dim custom partitioning for the factorized backward."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    raw = functools.partial(_bwd_fac_pallas_call, spatial_shapes, P, Lq, D)
+
+    @custom_partitioning
+    def call(pyb, pxb, awb, e, fc, tg, vrow, vrowT, gb):
+        return raw(pyb, pxb, awb, e, fc, tg, vrow, vrowT, gb)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh = _batch_partition_specs(mesh, arg_shapes, result_shape)
+        return mesh, raw, res_sh, arg_sh
+
+    def infer(mesh, arg_shapes, shape):
+        _, res_sh = _batch_partition_specs(mesh, arg_shapes, shape)
+        return res_sh
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b q k, b q k2, b q k3, o r wd, o2 wd2 c, o3 dp wd3, "
+            "b r2 wd4, b wd5 c2, b q3 d "
+            "-> b r3 wd6, b q4 k4, b q5 k5, b q6 k6"
+        ),
+    )
+    return call
 
 
 def _bwd_pallas_call(spatial_shapes, P, Lq, separable, pyb, pxb, awb, sy, sx,
@@ -545,19 +915,23 @@ def _bwd_partitioned(spatial_shapes, P, Lq, separable):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _msda_pallas(spatial_shapes, dims, value, loc, attn):
-    pyb, pxb, awb, vp = _layouts(spatial_shapes, value, loc, attn)
-    return _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, value.dtype)
+    fac = _fac_ok(spatial_shapes, dims[3])
+    pyb, pxb, awb, vtab = _layouts(spatial_shapes, value, loc, attn, fac)
+    return _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vtab, value.dtype,
+                     fac)
 
 
 def _msda_pallas_fwd(spatial_shapes, dims, value, loc, attn):
-    pyb, pxb, awb, vp = _layouts(spatial_shapes, value, loc, attn)
-    out = _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vp, value.dtype)
+    fac = _fac_ok(spatial_shapes, dims[3])
+    pyb, pxb, awb, vtab = _layouts(spatial_shapes, value, loc, attn, fac)
+    out = _fwd_call(spatial_shapes, dims, pyb, pxb, awb, vtab, value.dtype,
+                    fac)
     marks = (jnp.zeros((0,), loc.dtype), jnp.zeros((0,), attn.dtype))
-    return out, (pyb, pxb, awb, vp, marks)
+    return out, (pyb, pxb, awb, vtab, marks)
 
 
 def _msda_pallas_bwd(spatial_shapes, dims, res, g):
-    pyb, pxb, awb, vp, (loc_mark, attn_mark) = res
+    pyb, pxb, awb, vtab, (loc_mark, attn_mark) = res
     B, S, M, D, Lq, P = dims
     L = len(spatial_shapes)
     LP = L * P
@@ -565,26 +939,37 @@ def _msda_pallas_bwd(spatial_shapes, dims, res, g):
     Lq_pad = pyb.shape[1]
     Qt = min(Q_TILE, _round_up(Lq, 8))
 
-    gb = g.reshape(B, Lq, M, D).astype(vp.dtype)
+    gb = g.reshape(B, Lq, M, D).astype(vtab.dtype)
     gb = jnp.transpose(gb, (0, 2, 1, 3)).reshape(B * M, Lq, D)
     gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
 
-    sy_np, sx_np = _grid_maps(spatial_shapes)
-    separable = _separable_ok(spatial_shapes)
-    extras = ()
-    if separable:
-        kc_np, kr_np = _fold_maps(spatial_shapes)
-        extras = (jnp.asarray(kc_np), jnp.asarray(kr_np))
-    dv, dpy, dpx, daw = _bwd_partitioned(spatial_shapes, P, Lq, separable)(
-        pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), *extras, vp, gb
-    )
+    if _fac_ok(spatial_shapes, D):
+        E_np, _, Fc_np, Tg_np = _rowspace_maps(spatial_shapes, D)
+        dt = vtab.dtype
+        dvrow, dpy, dpx, daw = _bwd_fac_partitioned(spatial_shapes, P, Lq, D)(
+            pyb, pxb, awb, jnp.asarray(E_np, dt), jnp.asarray(Fc_np, dt),
+            jnp.asarray(Tg_np, dt), vtab, jnp.swapaxes(vtab, 1, 2), gb
+        )
+        dvs = _unrow(spatial_shapes, dvrow, D).reshape(B, M, S, D)
+        dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(vtab.dtype)
+    else:
+        sy_np, sx_np = _grid_maps(spatial_shapes)
+        separable = _separable_ok(spatial_shapes)
+        extras = ()
+        if separable:
+            kc_np, kr_np = _fold_maps(spatial_shapes)
+            extras = (jnp.asarray(kc_np), jnp.asarray(kr_np))
+        dv, dpy, dpx, daw = _bwd_partitioned(spatial_shapes, P, Lq, separable)(
+            pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np), *extras,
+            vtab, gb
+        )
 
-    # dvalue: unpad level segments, restore (B, S, M, D)
-    parts = []
-    for sz, off in zip(sizes, offs):
-        parts.append(jax.lax.slice_in_dim(dv, off, off + sz, axis=1))
-    dvs = jnp.concatenate(parts, axis=1).reshape(B, M, S, D)
-    dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(vp.dtype)
+        # dvalue: unpad level segments, restore (B, S, M, D)
+        parts = []
+        for sz, off in zip(sizes, offs):
+            parts.append(jax.lax.slice_in_dim(dv, off, off + sz, axis=1))
+        dvs = jnp.concatenate(parts, axis=1).reshape(B, M, S, D)
+        dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(vtab.dtype)
 
     def from_bm(x):  # (B*M, Lq_pad, LP) -> (B, Lq, M, L, P)
         x = x[:, :Lq].reshape(B, M, Lq, L, P)
