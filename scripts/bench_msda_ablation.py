@@ -31,11 +31,10 @@ kernel body in isolation to locate where Mosaic burns the extra 3.6x:
   bwdfac    same factorization for the backward: dVrow = Ay^T @ (aw*Axg),
             daw = rowsum(Axg * T), dpy from Q = Axg @ VrowT, dpx from
             R = fold_c(Gexp * T); no G_all plane, no wsum plane.
-  fwdfac2   fwdfac with all levels consolidated into block-diagonal
-            operands (K = L*128 rows, WD lanes): the WHOLE forward is 3
-            MXU dots + 1 product — tests the per-dot-overhead hypothesis.
-  bwdfac2   bwdfac consolidated the same way: 9 dots total; the per-point
-            reductions batch into lane-block fold maps.
+(A level-consolidated fac2 variant — block-diagonal operands, K = L*128 —
+was analyzed and not built: MXU dot time is M*N*ceil(K/128), so K=512
+quadruples every pass that the per-level K=128 dots do once; consolidation
+can only lose. See PERF.md round-3 factorized-kernel cost model.)
 
 Usage: python scripts/bench_msda_ablation.py [--check] [variant ...]
 """
@@ -889,6 +888,8 @@ def main():
     if args and args[0] == "--check":
         check(args[1:] or ["sep"])
         return
+    fp32 = "--fp32" in args
+    args = [a for a in args if a != "--fp32"]
     variants = args or ["full", "onlyg", "nodpy", "nodaw", "nodv",
                         "matred", "signfree", "fused"]
     from uvhand_tpu.utils.cache import enable_compilation_cache
@@ -903,7 +904,7 @@ def main():
     S = sum(h * w for h, w in shapes)
     B, M, D, L, P = 16, 8, 32, 4, 4
     Lq = S
-    dt = jnp.bfloat16
+    dt = jnp.float32 if fp32 else jnp.bfloat16
 
     rng = np.random.default_rng(0)
     value = jnp.asarray(rng.standard_normal((B, S, M, D)), dt)

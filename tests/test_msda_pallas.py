@@ -138,6 +138,12 @@ def test_pallas_backward_variants_agree(rng, monkeypatch):
         monkeypatch.setenv("UVHAND_MSDA_FAC", fac_env)
         monkeypatch.setenv("UVHAND_MSDA_SEP_BWD", sep_env)
 
+        # fp32 routes to dense unless forced; make sure the knob actually
+        # selects the kernel this run intends to exercise
+        assert msda_pallas._separable_ok(shapes, jnp.float32) == (
+            sep_env == "force"
+        )
+
         def f(v, l, a):
             return jnp.sum(
                 ms_deform_attn(v, shapes, l, a, impl="pallas") * jnp.asarray(g)
@@ -149,8 +155,11 @@ def test_pallas_backward_variants_agree(rng, monkeypatch):
         assert msda_pallas._bwd_partitioned.cache_info().currsize == int(not fac)
         return out
 
-    fac = grads("1", "1")
-    sep = grads("0", "1")
+    # fp32 inputs route to the dense kernel by default (fp32 HIGHEST makes
+    # the separable folds slow on the real chip) — "force" opts sep back in
+    # so all three formulations are exercised.
+    fac = grads("1", "force")
+    sep = grads("0", "force")
     dense = grads("0", "0")
     for a, b in zip(fac, sep):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

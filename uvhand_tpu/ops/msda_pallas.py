@@ -166,12 +166,20 @@ def _fac_ok(spatial_shapes, D) -> bool:
     )
 
 
-def _separable_ok(spatial_shapes) -> bool:
+def _separable_ok(spatial_shapes, dtype=jnp.bfloat16) -> bool:
     # UVHAND_MSDA_SEP_BWD=0 forces the dense-reduction backward (A/B knob).
     # Set it BEFORE the first backward trace: JAX memoizes the traced
     # custom-VJP bwd per (fn, avals), so a later flip only takes effect
     # after jax.clear_caches() + _bwd_partitioned.cache_clear().
-    if os.environ.get("UVHAND_MSDA_SEP_BWD", "1") == "0":
+    env = os.environ.get("UVHAND_MSDA_SEP_BWD", "1")
+    if env == "0":
+        return False
+    if env != "force" and jnp.dtype(dtype) == jnp.float32:
+        # fp32 parity mode runs every MXU dot at HIGHEST (6-pass) precision;
+        # the separable kernel's 32 per-point fold dots then cost more than
+        # the VPU reductions they replace: real-chip enc bwd 28.1 ms vs the
+        # dense-reduction kernel's 13.2 (scripts/bench_msda_ablation.py
+        # --fp32). bf16 keeps the separable kernel (9.2 vs 12.8).
         return False
     return all(h <= 128 and w <= 128 for h, w in spatial_shapes)
 
@@ -299,10 +307,15 @@ def _bwd_kernel(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
     def red(x):
-        # token-axis reduction as an MXU dot against ones: offloads the 48
-        # per-point column reductions from the VPU (the kernel's bottleneck
-        # unit) to the otherwise idle MXU — measured -1.0 ms/call on the
-        # enc-layer bwd (round-3 ablation, scripts/bench_msda_ablation.py)
+        # token-axis reduction. bf16: an MXU dot against ones offloads the
+        # 48 per-point column reductions from the VPU (the kernel's
+        # bottleneck unit) to the otherwise idle MXU — measured -1.0
+        # ms/call on the enc-layer bwd (round-3 ablation). fp32 parity mode
+        # pins every dot to HIGHEST (6-pass), which makes the same 48 dots
+        # SLOWER than the VPU sums they replaced (and default-precision
+        # dots drift parity) — so fp32 reduces on the VPU, exactly.
+        if prec == jax.lax.Precision.HIGHEST:
+            return jnp.sum(x, axis=1, keepdims=True)
         return jax.lax.dot_general(
             x, jnp.ones((x.shape[1], 8), jnp.float32),
             (((1,), (0,)), ((), ())),
@@ -954,7 +967,7 @@ def _msda_pallas_bwd(spatial_shapes, dims, res, g):
         dvalue = jnp.transpose(dvs, (0, 2, 1, 3)).astype(vtab.dtype)
     else:
         sy_np, sx_np = _grid_maps(spatial_shapes)
-        separable = _separable_ok(spatial_shapes)
+        separable = _separable_ok(spatial_shapes, vtab.dtype)
         extras = ()
         if separable:
             kc_np, kr_np = _fold_maps(spatial_shapes)
