@@ -125,7 +125,9 @@ def test_two_process_cpu_cluster_allgather(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        # generous: two fresh jax processes compiling on a shared (possibly
+        # 1-core, possibly contended) CI host — observed >300 s under load
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
     for o in outs:

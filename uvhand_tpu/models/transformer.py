@@ -30,6 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.msda import MSDeformAttn
+from .posenc import interleaved_sincos
 
 
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -153,8 +154,7 @@ def proposal_pos_embed(proposals: jnp.ndarray, num_pos_feats: int = 128) -> jnp.
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = 10000.0 ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
     p = jax.nn.sigmoid(proposals) * scale
-    pos = p[..., None] / dim_t  # (B, Q, 42, 128)
-    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])], axis=-1)
+    pos = interleaved_sincos(p[..., None] / dim_t)  # (B, Q, 42, 128)
     return pos.reshape(pos.shape[0], pos.shape[1], -1)
 
 
@@ -170,9 +170,7 @@ def sine_embed_42(pos: jnp.ndarray) -> jnp.ndarray:
     y = jnp.mean(pos[..., 1::2], -1) * scale
 
     def embed(v):
-        p = v[..., None] / dim_t  # (B, Q, 128)
-        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
-                         -1).reshape(v.shape + (128,))
+        return interleaved_sincos(v[..., None] / dim_t)  # (B, Q, 128)
 
     return jnp.concatenate([embed(y), embed(x)], -1)
 
