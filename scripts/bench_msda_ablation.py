@@ -617,6 +617,186 @@ def build(variant, spatial_shapes, dims, dtype):
 
         return call
 
+    # ---- sep2: separable-tent with CONSOLIDATED fold dots ---------------
+    # The 2*L*P per-point (Qt, seg) x (seg, 128) fold dots collapse to TWO
+    # (P*Qt, S_pad) x (S_pad, 128) dots: points stack on the sublane axis
+    # (same trick as the fac kernels), and each LEVEL's fold output lands in
+    # a DISJOINT output-column block (column offset = cumsum of previous
+    # levels' h for the row fold / w for the col fold; sum over production
+    # levels = 53 <= 128). Identical MXU FLOPs — per-level dots each paid
+    # the full N=128 anyway — but 2 streaming dots instead of 32 small ones.
+    # The 3*L*P tiny (Qt,128)x(128,8) reductions likewise collapse to 3*P
+    # accumulating (Qt,128)x(128,LP) select-fold dots, with the per-axis
+    # tent factors built in the combined lane space via per-column level
+    # selects (constant masks from iota compares).
+    def _fold_maps2():
+        hoffs, woffs = [], []
+        hc = wc = 0
+        for (h, w) in spatial_shapes:
+            hoffs.append(hc)
+            woffs.append(wc)
+            hc += h
+            wc += w
+        assert hc <= 128 and wc <= 128, "level extents must pack into 128"
+        Kc2 = np.zeros((S_pad, 128), np.float32)
+        Kr2 = np.zeros((S_pad, 128), np.float32)
+        for (h, w), sz, off, ho, wo in zip(spatial_shapes, sizes, offs,
+                                           hoffs, woffs):
+            ar = np.arange(sz)
+            Kc2[off + ar, ho + ar // w] = 1.0
+            Kr2[off + ar, wo + ar % w] = 1.0
+        return Kc2, Kr2, tuple(hoffs), tuple(woffs)
+
+    def kernel_sep2(hoffs, woffs, py_ref, px_ref, aw_ref, sy_ref, sx_ref,
+                    kc_ref, kr_ref, v_ref, g_ref, dv_ref, dpy_ref, dpx_ref,
+                    daw_ref, ws_ref, sxg_scr, syg_scr):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+        g = g_ref[0]
+        G_all = jax.lax.dot_general(
+            g, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        # pass 1: stacked wx*G / wy*G scratch (points on sublanes) + wsum
+        for l, (off, sg) in enumerate(plan):
+            sy = sy_ref[:, off : off + sg]
+            sx = sx_ref[:, off : off + sg]
+            G = G_all[:, off : off + sg]
+            wsum = None
+            for p in range(P):
+                k = l * P + p
+                py = py_ref[0, :, k : k + 1]
+                px = px_ref[0, :, k : k + 1]
+                aw = aw_ref[0, :, k : k + 1]
+                wy = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0)
+                wx = jnp.maximum(1.0 - jnp.abs(px - sx), 0.0)
+                sxg_scr[p * Qt : (p + 1) * Qt, off : off + sg] = (
+                    wx * G).astype(sxg_scr.dtype)
+                syg_scr[p * Qt : (p + 1) * Qt, off : off + sg] = (
+                    wy * G).astype(syg_scr.dtype)
+                term = aw * (wy * wx)
+                wsum = term if wsum is None else wsum + term
+            ws_ref[:, off : off + sg] = wsum.astype(ws_ref.dtype)
+        # two consolidated fold dots over the whole token axis
+        GX = jax.lax.dot_general(  # (P*Qt, 128) row folds, level blocks
+            sxg_scr[...], kc_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        GY = jax.lax.dot_general(  # (P*Qt, 128) col folds, level blocks
+            syg_scr[...], kr_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ilane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        isub = jax.lax.broadcasted_iota(jnp.int32, (128, LP), 0)
+        klane = jax.lax.broadcasted_iota(jnp.int32, (128, LP), 1)
+        hs = [h for h, w in spatial_shapes]
+        wids = [w for h, w in spatial_shapes]
+
+        def rcoff(offs_hw, exts):
+            # combined-lane-space grid coordinate: c - coloff(level(c));
+            # lanes outside every block get -1e6 => tent/sign factors 0
+            r = jnp.full((1, 128), -1e6, jnp.float32)
+            for o, e in zip(offs_hw, exts):
+                m = (ilane >= o) & (ilane < o + e)
+                r = jnp.where(m, (ilane - o).astype(jnp.float32), r)
+            return r
+
+        rcy = rcoff(hoffs, hs)
+        rcx = rcoff(woffs, wids)
+        daw_acc = dpy_acc = dpx_acc = None
+        for p in range(P):
+            pys = pxs = None
+            for l in range(len(hoffs)):
+                k = l * P + p
+                my = ((ilane >= hoffs[l]) & (ilane < hoffs[l] + hs[l]))
+                t = my.astype(jnp.float32) * py_ref[0, :, k : k + 1]
+                pys = t if pys is None else pys + t
+                mx = ((ilane >= woffs[l]) & (ilane < woffs[l] + wids[l]))
+                t = mx.astype(jnp.float32) * px_ref[0, :, k : k + 1]
+                pxs = t if pxs is None else pxs + t
+            dyr = pys - rcy
+            dxc = pxs - rcx
+            ay = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)
+            sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+            sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+            msely = mselx = None
+            for l in range(len(hoffs)):
+                m = (((isub >= hoffs[l]) & (isub < hoffs[l] + hs[l]))
+                     & (klane == l * P + p)).astype(jnp.float32)
+                msely = m if msely is None else msely + m
+                m = (((isub >= woffs[l]) & (isub < woffs[l] + wids[l]))
+                     & (klane == l * P + p)).astype(jnp.float32)
+                mselx = m if mselx is None else mselx + m
+            Gx_p = GX[p * Qt : (p + 1) * Qt]
+            Gy_p = GY[p * Qt : (p + 1) * Qt]
+
+            def fold(x, msel):
+                return jax.lax.dot_general(
+                    x, msel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+
+            a = fold(ay * Gx_p, msely)
+            dyc = fold(sgny * Gx_p, msely)
+            dxcol = fold(sgnx * Gy_p, mselx)
+            daw_acc = a if daw_acc is None else daw_acc + a
+            dpy_acc = dyc if dpy_acc is None else dpy_acc + dyc
+            dpx_acc = dxcol if dpx_acc is None else dpx_acc + dxcol
+        awf = aw_ref[0]
+        dpy_ref[0] = -awf * dpy_acc
+        dpx_ref[0] = -awf * dpx_acc
+        daw_ref[0] = daw_acc
+        dv_ref[0] += jax.lax.dot_general(
+            ws_ref[...], g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(dv_ref.dtype)
+
+    if variant == "sep2":
+        import functools as ft
+
+        Kc2_np, Kr2_np, hoffs, woffs = _fold_maps2()
+        kern = ft.partial(kernel_sep2, hoffs, woffs)
+
+        def call(pyb, pxb, awb, vp, gb):
+            Lq_pad = pyb.shape[1]
+            sy_np, sx_np = mp._grid_maps(spatial_shapes)
+            return pl.pallas_call(
+                kern,
+                grid=(B * M, Lq_pad // Qt),
+                in_specs=[
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                    mp._const_spec(S_pad), mp._const_spec(S_pad),
+                    pl.BlockSpec((S_pad, 128), lambda bm, q: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((S_pad, 128), lambda bm, q: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    mp._v_spec(S_pad, D),
+                    pl.BlockSpec((1, Qt, D), lambda bm, q: (bm, q, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, S_pad, D), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    mp._q_spec(Qt, LP), mp._q_spec(Qt, LP), mp._q_spec(Qt, LP),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B * M, S_pad, D), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, Lq_pad, LP), jnp.float32),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((Qt, S_pad), vp.dtype),
+                    pltpu.VMEM((P * Qt, S_pad), vp.dtype),
+                    pltpu.VMEM((P * Qt, S_pad), vp.dtype),
+                ],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyb, pxb, awb, jnp.asarray(sy_np), jnp.asarray(sx_np),
+              jnp.asarray(Kc2_np, vp.dtype), jnp.asarray(Kr2_np, vp.dtype),
+              vp, gb)
+
+        return call
+
     # "xdot" family: G comes in as an INPUT (computed by an XLA batched
     # GEMM), the wsum plane goes OUT to HBM (dV = ws^T @ g as an XLA GEMM
     # afterwards) — the kernel body is pure VPU work.
