@@ -154,18 +154,30 @@ def select_queries(stacked_layer: Dict[str, jnp.ndarray], num_obj_classes: int =
     left_q = jnp.argmax(prob[:, :, 12], axis=1)
     right_q = jnp.argmax(prob[:, :, 13], axis=1)
 
-    b = jnp.arange(B)
-    g = lambda x, q: x[b, q]
+    # gather-by-argmax as an exact masked sum: the integer gather's BACKWARD
+    # is a scatter that XLA lowers (under the 6-layer vmap) to (L, 3, B*Q)
+    # dim-0-minor select fusions costing ~1.2 ms/step; where+sum over the
+    # one-hot row keeps natural layouts in both directions and is bitwise
+    # exact (a single surviving addend, no MXU rounding).
+    iq = jnp.arange(Q)
+    onehot = lambda q: iq[None] == q[:, None]  # (B, Q) bool
+    oh = {"l": onehot(left_q), "r": onehot(right_q), "o": onehot(obj_q)}
+
+    def g(x, e):
+        m = oh[e].reshape(oh[e].shape + (1,) * (x.ndim - 2))
+        return jnp.sum(jnp.where(m, x, 0), axis=1)
+
+    left_e, right_e, obj_e = "l", "r", "o"
     return {
-        "root.l": g(stacked_layer["pred_hand_cam"], left_q),
-        "root.r": g(stacked_layer["pred_hand_cam"], right_q),
-        "root.o": g(stacked_layer["pred_obj_cam"], obj_q),
-        "pose.l": g(stacked_layer["pred_mano_pose"], left_q),
-        "pose.r": g(stacked_layer["pred_mano_pose"], right_q),
-        "beta.l": g(stacked_layer["pred_mano_beta"], left_q),
-        "beta.r": g(stacked_layer["pred_mano_beta"], right_q),
-        "obj_rot": g(stacked_layer["pred_obj_rot"], obj_q),
-        "obj_rad": g(stacked_layer["pred_obj_rad"], obj_q)[..., 0],
+        "root.l": g(stacked_layer["pred_hand_cam"], left_e),
+        "root.r": g(stacked_layer["pred_hand_cam"], right_e),
+        "root.o": g(stacked_layer["pred_obj_cam"], obj_e),
+        "pose.l": g(stacked_layer["pred_mano_pose"], left_e),
+        "pose.r": g(stacked_layer["pred_mano_pose"], right_e),
+        "beta.l": g(stacked_layer["pred_mano_beta"], left_e),
+        "beta.r": g(stacked_layer["pred_mano_beta"], right_e),
+        "obj_rot": g(stacked_layer["pred_obj_rot"], obj_e),
+        "obj_rad": g(stacked_layer["pred_obj_rad"], obj_e)[..., 0],
         "query.l": left_q,
         "query.r": right_q,
         "query.o": obj_q,
@@ -323,12 +335,36 @@ def arctic_criterion(
         num_boxes = jax.lax.pmean(num_boxes, axis_name)
     num_boxes = jnp.maximum(num_boxes, 1.0)
 
-    def det_losses(logits, hand_key, obj_key):
-        assign = arctic_match(
+    def match(logits, hand_key, obj_key):
+        return jax.lax.stop_gradient(arctic_match(
             logits, hand_key, obj_key, tgt_labels, tgt_kps, tgt_valid,
             cost_class=cost_class, cost_keypoint=cost_keypoint,
-        )
-        assign = jax.lax.stop_gradient(assign)
+        ))
+
+    def match_layers(logits, hand_key, obj_key):
+        # fold the layer axis into the matcher's batch instead of a nested
+        # vmap: matching is independent per (layer, image), and the nested
+        # (L, B) batching rules gave the matcher's (T, Q) work arrays a
+        # dim-0-minor layout costing ~1.2 ms/step in strided fusions
+        # (PERF.md round 3). One (L*B)-batch call keeps Q on the lanes.
+        B = logits.shape[1]
+
+        def fold(x):
+            return None if x is None else x.reshape((L * B,) + x.shape[2:])
+
+        def tile(x):
+            return jnp.broadcast_to(
+                x[None], (L,) + x.shape).reshape((L * B,) + x.shape[1:])
+
+        tk = None if tgt_kps is None else tile(tgt_kps)
+        a = jax.lax.stop_gradient(arctic_match(
+            fold(logits), fold(hand_key), fold(obj_key),
+            tile(tgt_labels), tk, tile(tgt_valid),
+            cost_class=cost_class, cost_keypoint=cost_keypoint,
+        ))
+        return a.reshape((L, B) + a.shape[1:])
+
+    def det_losses(logits, hand_key, obj_key, assign):
         l_ce = loss_labels(logits, tgt_labels, assign, tgt_valid, num_boxes)
         if two_stage:
             l_h, l_o = loss_keypoints(hand_key, obj_key, tgt_labels, tgt_kps, assign, tgt_valid)
@@ -337,13 +373,18 @@ def arctic_criterion(
         return l_ce, l_h, l_o
 
     if two_stage:
-        ce_all, h_all, o_all = jax.vmap(det_losses)(
+        assign_all = match_layers(
             st["pred_logits"], st["pred_hand_key"], st["pred_obj_key"]
         )
+        ce_all, h_all, o_all = jax.vmap(det_losses)(
+            st["pred_logits"], st["pred_hand_key"], st["pred_obj_key"],
+            assign_all,
+        )
     else:
+        assign_all = match_layers(st["pred_logits"], None, None)
         ce_all, h_all, o_all = jax.vmap(
-            lambda lg: det_losses(lg, None, None)
-        )(st["pred_logits"])
+            lambda lg, a: det_losses(lg, None, None, a)
+        )(st["pred_logits"], assign_all)
 
     small_all = jax.vmap(
         lambda layer: compute_small_loss(
@@ -384,7 +425,8 @@ def arctic_criterion(
     if two_stage and "interm_outputs" in outputs and outputs["interm_outputs"] is not None:
         io = outputs["interm_outputs"]
         ce_i, h_i, o_i = det_losses(
-            io["pred_logits"], io["pred_hand_key"], io["pred_obj_key"]
+            io["pred_logits"], io["pred_hand_key"], io["pred_obj_key"],
+            match(io["pred_logits"], io["pred_hand_key"], io["pred_obj_key"]),
         )
         for name, val in (
             ("loss_ce", ce_i),

@@ -340,9 +340,16 @@ class DeformableTransformer(nn.Module):
                     self.d_model, 42, 3, last_init=zero,
                     name="enc_out_obj_key_head")
             else:
-                self.pos_trans1 = nn.Dense(1024, name="pos_trans1")
-                self.pos_trans2 = nn.Dense(1024, name="pos_trans2")
-                self.pos_trans3 = nn.Dense(2 * self.d_model, name="pos_trans3")
+                # compute_dtype like the FFN/attention matmuls: the
+                # (Q, 42*128)x(5376, 1024) pair is ~2.5 ms/step of f32 MXU
+                # time in the bf16 headline otherwise (PERF.md round 3)
+                self.pos_trans1 = nn.Dense(
+                    1024, dtype=self.compute_dtype, name="pos_trans1")
+                self.pos_trans2 = nn.Dense(
+                    1024, dtype=self.compute_dtype, name="pos_trans2")
+                self.pos_trans3 = nn.Dense(
+                    2 * self.d_model, dtype=self.compute_dtype,
+                    name="pos_trans3")
                 self.pos_trans_norm = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")
             if self.two_stage_learn_xy:
                 # Embedding(1, 40), init logit(0.05) (arctic_transformer.py:88-89)

@@ -521,11 +521,17 @@ def _layouts(spatial_shapes, value, loc, attn, fac=False):
     py = locf[..., 1] * Hs - 0.5
 
     def to_bm(x):  # (B, Lq, M, L, P) -> (B*M, Lq_pad, L*P)
-        x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B * M, Lq, L * P)
-        return jnp.pad(x, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
+        # pad BEFORE the transpose so XLA fuses the pad into the relayout
+        # copy (pad-after materialized as a separate ~100us pass per array)
+        x = jnp.pad(x, ((0, 0), (0, Lq_pad - Lq), (0, 0), (0, 0), (0, 0)))
+        return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B * M, Lq_pad, L * P)
 
     pxb, pyb = to_bm(px), to_bm(py)
-    awb = to_bm(attn.astype(jnp.float32))
+    # attn stays in its native dtype (bf16 in the headline mode): the
+    # kernels upcast the (Qt, 1) per-point columns on read, which is free,
+    # while a pre-kernel astype(f32) cost a 6x105us pad_convert pass and
+    # doubled the residual footprint. Values are identical either way.
+    awb = to_bm(attn)
 
     vt = jnp.transpose(value, (0, 2, 1, 3)).reshape(B * M, S, D)
     if fac:
@@ -871,7 +877,14 @@ def _bwd_pallas_call(spatial_shapes, P, Lq, separable, pyb, pxb, awb, sy, sx,
             _q_spec(Qt, LP), _q_spec(Qt, LP), _q_spec(Qt, LP),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((BM, S_pad, D), jnp.float32),
+            # dvalue in the value dtype when one query tile covers Lq (the
+            # production shapes): the downstream cast to value.dtype then
+            # happens at the kernel write instead of a separate 12x125us
+            # convert pass + doubled unpad/transpose traffic. Multi-tile
+            # grids keep f32 so the cross-tile accumulation stays exact.
+            jax.ShapeDtypeStruct(
+                (BM, S_pad, D),
+                vp.dtype if Lq_pad // Qt == 1 else jnp.float32),
             jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
             jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
             jax.ShapeDtypeStruct((BM, Lq_pad, LP), jnp.float32),
@@ -953,8 +966,8 @@ def _msda_pallas_bwd(spatial_shapes, dims, res, g):
     Qt = min(Q_TILE, _round_up(Lq, 8))
 
     gb = g.reshape(B, Lq, M, D).astype(vtab.dtype)
-    gb = jnp.transpose(gb, (0, 2, 1, 3)).reshape(B * M, Lq, D)
-    gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
+    gb = jnp.pad(gb, ((0, 0), (0, Lq_pad - Lq), (0, 0), (0, 0)))
+    gb = jnp.transpose(gb, (0, 2, 1, 3)).reshape(B * M, Lq_pad, D)
 
     if _fac_ok(spatial_shapes, D):
         E_np, _, Fc_np, Tg_np = _rowspace_maps(spatial_shapes, D)
