@@ -578,6 +578,225 @@ def build(variant, spatial_shapes, dims, dtype):
 
         return call
 
+    if variant in ("fwdT", "sepT"):
+        # TRANSPOSED-PLANE orientation: planes are (seg, Qt) — level tokens
+        # on SUBLANES (8-granular padding: S_padT 1056 vs the lane-aligned
+        # 1408, -25% plane elements), queries on LANES. py/px/aw arrive as
+        # (BM, LP, LqT) which is the to_bm fusion's NATURAL output layout
+        # (the {1,0,2}->{2,1,0} relayout copies around the production
+        # kernel disappear). All dots use the transposed forms Mosaic
+        # already runs in the production bodies. Inputs here are converted
+        # from the standard harness layouts in-call and outputs converted
+        # back, so the timing is a conservative (glue-handicapped) bound.
+        sizesT = list(sizes)
+        segT = [mp._round_up(s, 8) for s in sizesT]
+        offsT = np.cumsum([0] + segT[:-1]).tolist()
+        S_padT = int(sum(segT))
+        planT = tuple(zip(offsT, segT))
+        LqT = mp._round_up(Lq, 128)
+
+        syT_np = np.full((S_padT, 1), -1e6, np.float32)
+        sxT_np = np.full((S_padT, 1), -1e6, np.float32)
+        kcT_np = np.zeros((128, S_padT), np.float32)
+        krT_np = np.zeros((128, S_padT), np.float32)
+        for (h, w), sz, off in zip(spatial_shapes, sizesT, offsT):
+            ar = np.arange(sz)
+            syT_np[off : off + sz, 0] = ar // w
+            sxT_np[off : off + sz, 0] = ar % w
+            kcT_np[ar // w, off + ar] = 1.0
+            krT_np[ar % w, off + ar] = 1.0
+
+        def to_T(x, lanes_pad):  # (BM, Lq_pad, K) -> (BM, K, LqT)
+            x = jnp.transpose(x, (0, 2, 1))
+            return jnp.pad(x, ((0, 0), (0, 0), (0, lanes_pad - x.shape[2])))
+
+        def v_to_T(vp):  # (BM, S_pad128, D) -> (BM, S_padT, D)
+            parts = []
+            for (off128, _), sz, sg in zip(plan, sizesT, segT):
+                part = jax.lax.slice_in_dim(vp, off128, off128 + sz, axis=1)
+                parts.append(jnp.pad(part, ((0, 0), (0, sg - sz), (0, 0))))
+            return jnp.concatenate(parts, axis=1)
+
+        def dv_from_T(dvT):  # (BM, S_padT, D) -> (BM, S_pad128, D)
+            parts = []
+            for (offT, _), sz, sg128 in zip(planT, sizesT, seg):
+                part = jax.lax.slice_in_dim(dvT, offT, offT + sz, axis=1)
+                parts.append(jnp.pad(part, ((0, 0), (0, sg128 - sz), (0, 0))))
+            return jnp.concatenate(parts, axis=1)
+
+        def kernel_fwdT(py_ref, px_ref, aw_ref, sy_ref, sx_ref, v_ref,
+                        out_ref, w_ref):
+            for l, (off, sg) in enumerate(planT):
+                sy = sy_ref[off : off + sg, :]  # (sg, 1)
+                sx = sx_ref[off : off + sg, :]
+                w = None
+                for p in range(P):
+                    k = l * P + p
+                    py = py_ref[0, k : k + 1, :]  # (1, LqT)
+                    px = px_ref[0, k : k + 1, :]
+                    aw = aw_ref[0, k : k + 1, :]
+                    hat = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0) * jnp.maximum(
+                        1.0 - jnp.abs(px - sx), 0.0
+                    )  # (sg, LqT)
+                    term = aw * hat
+                    w = term if w is None else w + term
+                w_ref[off : off + sg, :] = w.astype(w_ref.dtype)
+            # outT (D, LqT) = V^T @ W via the lhs-transposed form
+            out_ref[0] = jax.lax.dot_general(
+                v_ref[0], w_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(out_ref.dtype)
+
+        def kernel_sepT(py_ref, px_ref, aw_ref, sy_ref, sx_ref, kct_ref,
+                        krt_ref, v_ref, gt_ref, dv_ref, dpy_ref, dpx_ref,
+                        daw_ref, ws_ref):
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+            ones8 = jnp.ones((8, 128), jnp.float32)
+
+            def redT(x):  # (128, LqT) -> (1, LqT) on the MXU
+                return jax.lax.dot_general(
+                    ones8, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )[:1, :]
+
+            gt = gt_ref[0]  # (D, LqT)
+            GT = jax.lax.dot_general(  # (S_padT, LqT)
+                v_ref[0], gt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            rc = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(
+                jnp.float32
+            )
+            dpy_rows, dpx_rows, daw_rows = [], [], []
+            for l, (off, sg) in enumerate(planT):
+                sy = sy_ref[off : off + sg, :]
+                sx = sx_ref[off : off + sg, :]
+                G = GT[off : off + sg, :]
+                kc = kct_ref[0, :, off : off + sg]  # (128, sg)
+                kr = krt_ref[0, :, off : off + sg]
+                wsum = None
+                for p in range(P):
+                    k = l * P + p
+                    py = py_ref[0, k : k + 1, :]
+                    px = px_ref[0, k : k + 1, :]
+                    aw = aw_ref[0, k : k + 1, :]
+                    wy = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0)
+                    wx = jnp.maximum(1.0 - jnp.abs(px - sx), 0.0)
+                    GxT = jax.lax.dot_general(  # (128, LqT) row-folded wx*G
+                        kc, wx * G, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                    GyT = jax.lax.dot_general(
+                        kr, wy * G, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                    term = aw * (wy * wx)
+                    wsum = term if wsum is None else wsum + term
+                    dyr = py - rc  # (128, LqT)
+                    dxc = px - rc
+                    ay = jnp.maximum(1.0 - jnp.abs(dyr), 0.0)
+                    sgny = jnp.where(jnp.abs(dyr) < 1.0, jnp.sign(dyr), 0.0)
+                    sgnx = jnp.where(jnp.abs(dxc) < 1.0, jnp.sign(dxc), 0.0)
+                    daw_rows.append(redT(ay * GxT))
+                    dpy_rows.append(-aw * redT(sgny * GxT))
+                    dpx_rows.append(-aw * redT(sgnx * GyT))
+                ws_ref[off : off + sg, :] = wsum.astype(ws_ref.dtype)
+            # dv (S_padT, D) via the rhs-transposed form (contract LqT)
+            dv_ref[0] += jax.lax.dot_general(
+                ws_ref[...], gt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(dv_ref.dtype)
+            dpy_ref[0] = jnp.concatenate(dpy_rows, axis=0)
+            dpx_ref[0] = jnp.concatenate(dpx_rows, axis=0)
+            daw_ref[0] = jnp.concatenate(daw_rows, axis=0)
+
+        def qT_spec():
+            return pl.BlockSpec((1, LP, LqT), lambda bm, q: (bm, 0, q),
+                                memory_space=pltpu.VMEM)
+
+        def colT_spec():
+            return pl.BlockSpec((S_padT, 1), lambda bm, q: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        if variant == "fwdT":
+
+            def call(pyb, pxb, awb, vp, gb):
+                pyT, pxT, awT = (to_T(x, LqT) for x in (pyb, pxb, awb))
+                v8 = v_to_T(vp)
+                outT = pl.pallas_call(
+                    kernel_fwdT,
+                    grid=(B * M, LqT // LqT),
+                    in_specs=[
+                        qT_spec(), qT_spec(), qT_spec(),
+                        colT_spec(), colT_spec(),
+                        pl.BlockSpec((1, S_padT, D), lambda bm, q: (bm, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (1, D, LqT), lambda bm, q: (bm, 0, q),
+                        memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((B * M, D, LqT), vp.dtype),
+                    scratch_shapes=[pltpu.VMEM((S_padT, LqT), vp.dtype)],
+                    compiler_params=mp._COMPILER_PARAMS,
+                    interpret=mp._interpret(),
+                )(pyT, pxT, awT, jnp.asarray(syT_np), jnp.asarray(sxT_np), v8)
+                # canonical (BM, Lq_pad, D) like the production forward
+                out = jnp.transpose(outT, (0, 2, 1))
+                return (jnp.pad(out[:, :Lq], ((0, 0), (0, pyb.shape[1] - Lq),
+                                              (0, 0))),)
+
+            return call
+
+        def call(pyb, pxb, awb, vp, gb):
+            pyT, pxT, awT = (to_T(x, LqT) for x in (pyb, pxb, awb))
+            v8 = v_to_T(vp)
+            gT = to_T(gb, LqT)
+            dvT, dpyT, dpxT, dawT = pl.pallas_call(
+                kernel_sepT,
+                grid=(B * M, LqT // LqT),
+                in_specs=[
+                    qT_spec(), qT_spec(), qT_spec(),
+                    colT_spec(), colT_spec(),
+                    pl.BlockSpec((1, 128, S_padT), lambda bm, q: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 128, S_padT), lambda bm, q: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, S_padT, D), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, D, LqT), lambda bm, q: (bm, 0, q),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, S_padT, D), lambda bm, q: (bm, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    qT_spec(), qT_spec(), qT_spec(),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((B * M, S_padT, D), vp.dtype),
+                    jax.ShapeDtypeStruct((B * M, LP, LqT), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, LP, LqT), jnp.float32),
+                    jax.ShapeDtypeStruct((B * M, LP, LqT), jnp.float32),
+                ),
+                scratch_shapes=[pltpu.VMEM((S_padT, LqT), vp.dtype)],
+                compiler_params=mp._COMPILER_PARAMS,
+                interpret=mp._interpret(),
+            )(pyT, pxT, awT, jnp.asarray(syT_np), jnp.asarray(sxT_np),
+              jnp.asarray(kcT_np)[None], jnp.asarray(krT_np)[None], v8, gT)
+            # canonical shapes like the production backward
+            Lq_pad = pyb.shape[1]
+
+            def back(x):
+                x = jnp.transpose(x, (0, 2, 1))[:, :Lq]
+                return jnp.pad(x, ((0, 0), (0, Lq_pad - Lq), (0, 0)))
+
+            return (dv_from_T(dvT.astype(jnp.float32)), back(dpyT),
+                    back(dpxT), back(dawT))
+
+        return call
+
     if variant == "sep":
         Kc_np, Kr_np = _fold_maps()
 

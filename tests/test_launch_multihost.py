@@ -129,7 +129,11 @@ def test_two_process_cpu_cluster_allgather(tmp_path):
         # 1-core, possibly contended) CI host — observed >300 s under load
         out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        # Gloo teardown prints "[Gloo] Rank ..." to stdout and can race
+        # AFTER the worker's json line — take the last JSON line, not the
+        # last line
+        lines = [l for l in out.strip().splitlines() if l.startswith('{"')]
+        outs.append(json.loads(lines[-1]))
     for o in outs:
         assert o["process_count"] == 2
         # global mean over ranks {0, 1} on BOTH hosts

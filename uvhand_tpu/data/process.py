@@ -84,7 +84,9 @@ def nearest_point_fields(src: jnp.ndarray, dst: jnp.ndarray, dst_mask: jnp.ndarr
     )
     d2 = jnp.where(dst_mask[:, None, :] > 0, d2, jnp.inf)
     idx = jnp.argmin(d2, -1)
-    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[..., None], -1)[..., 0], 0.0))
+    # min == d2[argmin] by definition; the explicit take_along_axis cost a
+    # second indexed pass over the (B, 778, Vo) matrix (~0.3 ms/step)
+    dist = jnp.sqrt(jnp.maximum(jnp.min(d2, -1), 0.0))
     return jnp.clip(dist, dist_min, dist_max), idx.astype(jnp.int32)
 
 

@@ -291,7 +291,17 @@ def compute_small_loss(
 
     # contact deviation (loss_modules.py:184-226)
     def contact_dev(v_obj, v_hand, dist, idx, hand_valid):
-        corres = jnp.take_along_axis(v_obj, idx[:, :, None], axis=1)  # (B, 778, 3)
+        # gather-by-GT-index as a one-hot contraction: the integer gather's
+        # BACKWARD is a scatter that XLA lowers (under the 6-layer vmap) to
+        # a ~0.6 ms/step dim-0-minor f32[L,3,B*Vo] fusion per hand; the
+        # one-hot dot keeps both directions on the MXU with natural layouts
+        # and is exact (one surviving addend per row, 1.0/0.0 weights,
+        # HIGHEST precision).
+        onehot = (idx[:, :, None] == jnp.arange(v_obj.shape[1])[None, None])
+        corres = jnp.einsum(
+            "bhv,bvc->bhc", onehot.astype(v_obj.dtype), v_obj,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, 778, 3)
         disp = jnp.linalg.norm(corres - v_hand, axis=-1)  # (B, 778)
         contact = (dist <= CONTACT_DIST) & (hand_valid[:, None] > 0)
         per_sample = jnp.sum(disp * contact, 1) / jnp.maximum(jnp.sum(contact, 1), 1)

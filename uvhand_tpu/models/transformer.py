@@ -147,15 +147,18 @@ def encoder_reference_points(spatial_shapes, valid_ratios):
     return ref[:, :, None] * valid_ratios[:, None]
 
 
-def proposal_pos_embed(proposals: jnp.ndarray, num_pos_feats: int = 128) -> jnp.ndarray:
+def proposal_pos_embed(proposals: jnp.ndarray, num_pos_feats: int = 128,
+                       dtype=jnp.float32) -> jnp.ndarray:
     """42-d unactivated proposal -> (B, Q, 42*128) sine embedding
-    (arctic_transformer.py:91-104)."""
+    (arctic_transformer.py:91-104). Sines are computed in f32; `dtype`
+    casts before the big reshape so the relayout copy feeding the
+    pos_trans GEMM moves half the bytes in the bf16 mode."""
     scale = 2 * math.pi
     dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
     dim_t = 10000.0 ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
     p = jax.nn.sigmoid(proposals) * scale
     pos = interleaved_sincos(p[..., None] / dim_t)  # (B, Q, 42, 128)
-    return pos.reshape(pos.shape[0], pos.shape[1], -1)
+    return pos.astype(dtype).reshape(pos.shape[0], pos.shape[1], -1)
 
 
 def sine_embed_42(pos: jnp.ndarray) -> jnp.ndarray:
@@ -503,10 +506,15 @@ class DeformableTransformer(nn.Module):
                     "pred_obj_key_unact": hand_kp,
                 }
             else:
-                pt = nn.relu(self.pos_trans1(proposal_pos_embed(ref_unact)))
+                # flatten (B, Q) for the MLP: the 3-D (B, Q, 5376) operand
+                # gave the (x, 5376)x(5376, 1024) GEMM a B-strided M axis
+                # (59 TF/s measured); 2-D operands keep M contiguous
+                pe = proposal_pos_embed(ref_unact, dtype=self.compute_dtype)
+                Bq = pe.shape[:2]
+                pt = nn.relu(self.pos_trans1(pe.reshape(-1, pe.shape[-1])))
                 pt = nn.relu(self.pos_trans2(pt))
                 pt = nn.relu(self.pos_trans3(pt))
-                pt = self.pos_trans_norm(pt)
+                pt = self.pos_trans_norm(pt).reshape(Bq + (-1,))
                 query_pos, tgt = jnp.split(pt, 2, axis=-1)
                 enc_outputs = {
                     "pred_logits": enc_cls,
