@@ -79,6 +79,17 @@ def measure(dtype_name: str, batch, world) -> float:
     state, totals = run_k(state, rng)
     jax.block_until_ready(totals)
     dt = time.perf_counter() - t0
+
+    # UVHAND_BENCH_PROFILE=<logdir>: capture an xprof trace of the same
+    # cached scan program. Device self-time is stable across tunnel-speed
+    # drift (~±5% on wall clock), so kernel A/Bs compare this, not fps.
+    prof = os.environ.get("UVHAND_BENCH_PROFILE", "")
+    if prof:
+        import jax.profiler
+
+        with jax.profiler.trace(os.path.join(prof, dtype_name)):
+            state, totals = run_k(state, rng)
+            jax.block_until_ready(totals)
     return BATCH * SCAN_STEPS / dt
 
 

@@ -94,3 +94,34 @@ def test_remat_matches_baseline():
     # semantic difference
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
     assert max(jax.tree.leaves(diffs)) < 1e-3, max(jax.tree.leaves(diffs))
+
+
+def test_drop_matches_nn_dropout_semantics():
+    """`transformer.Drop` (2-D uint16-threshold dropout) keeps nn.Dropout's
+    contract: identity when deterministic/rate=0; in train mode every
+    element is either exactly 0 or exactly x/keep, the keep fraction is
+    keep +- quantization (<=2^-16 relative), and the 'dropout' rng
+    collection drives the draw (same collection name as nn.Dropout)."""
+    from uvhand_tpu.models.transformer import Drop
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 37, 64), jnp.float32)
+
+    # deterministic / rate=0 -> identity, no rng needed
+    y = Drop(0.3, deterministic=True).apply({}, x)
+    assert (y == x).all()
+    y = Drop(0.0, deterministic=False).apply({}, x)
+    assert (y == x).all()
+
+    rate, keep = 0.1, 0.9
+    y = Drop(rate, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(7)})
+    zero = y == 0
+    scaled = jnp.abs(y - x / keep) < 1e-6
+    assert bool((zero | scaled).all())
+    frac = 1.0 - float(zero.mean())
+    assert abs(frac - keep) < 0.02, frac
+
+    # different rng keys -> different masks (the draw is actually keyed)
+    y2 = Drop(rate, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(8)})
+    assert not bool((y == y2).all())
