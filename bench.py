@@ -37,7 +37,12 @@ REFERENCE_FPS_ESTIMATE = 140.0  # frames/s per A100, train step (see docstring)
 BATCH = int(os.environ.get("UVHAND_BENCH_BATCH", 16))
 # UVHAND_BENCH_DTYPE=bfloat16|float32 measures one mode only; default both
 DTYPE = os.environ.get("UVHAND_BENCH_DTYPE", "")
-SCAN_STEPS = int(os.environ.get("UVHAND_BENCH_SCAN", 20))
+# 60 steps: the loopback relay charges ~180 ms per program LAUNCH (xprof
+# shows the device 100% busy with tc_idle ~0.04 ms across the whole scan,
+# so the wall-vs-device gap is all launch overhead). 20 steps left a ~9
+# ms/step artifact on the reading; 60 amortizes it to ~3 ms. Device
+# self-time per step is the tunnel-free number (UVHAND_BENCH_PROFILE).
+SCAN_STEPS = int(os.environ.get("UVHAND_BENCH_SCAN", 60))
 
 
 def measure(dtype_name: str, batch, world) -> float:

@@ -161,12 +161,19 @@ def test_pallas_backward_variants_agree(rng, monkeypatch):
     fac = grads("1", "force")
     sep = grads("0", "force")
     dense = grads("0", "0")
+    # In fp32/HIGHEST mode the separable kernel's fold dots run a two-term
+    # bf16 split (exact 0/1 right operands; ~2^-16 relative per element),
+    # so sep-vs-others carries that quantization on dpy/dpx/daw; dense and
+    # fac reduce exactly. Scale-relative bound, not elementwise-relative:
+    # tent grads cross zero so near-zero entries have large rtol.
     for a, b in zip(fac, sep):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-5, atol=3e-5 * scale)
     for a, b in zip(sep, dense):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-5, atol=3e-5 * scale)
 
 
 def test_pallas_large_level_falls_back_to_dense(rng):

@@ -242,12 +242,35 @@ def _bwd_kernel_sep(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref,
     def _():
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
 
+    # Fold-dot precision: the 32 per-point fold dots are the kernel's MXU
+    # bulk. fp32 parity mode pins dots to HIGHEST (6-pass), which made this
+    # kernel 2x SLOWER than the dense-reduction one (28.1 vs 13.2 ms) and
+    # forced fp32 onto the dense path. Every fold RIGHT operand here (Kc,
+    # Kr, ones) is 0/1 — exact in bf16 — so a two-term bf16 split of the
+    # left operand (hi = bf16(x), lo = bf16(x - hi)) recovers ~2^-16
+    # relative accuracy in TWO default passes; Mosaic has no HIGH lowering
+    # and HIGHEST's 6 passes buy nothing against an exact right operand.
+    # These dots only feed the sampling-location/attention-weight
+    # gradients; dvalue's G_all/dV dots stay at the caller's precision.
+    hi2 = prec == jax.lax.Precision.HIGHEST
+
+    def fold_dot(x, k):  # (Qt, seg) @ (seg, 128), k exactly bf16
+        kb = k.astype(jnp.bfloat16) if hi2 else k
+
+        def d(a):
+            return jax.lax.dot_general(
+                a, kb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT if hi2 else prec,
+            )
+
+        if not hi2:
+            return d(x)
+        xh = x.astype(jnp.bfloat16)
+        return d(xh) + d((x - xh.astype(jnp.float32)).astype(jnp.bfloat16))
+
     def redsmall(x):  # (Qt, 128) -> (Qt, 1) on the MXU
-        return jax.lax.dot_general(
-            x, jnp.ones((128, 8), jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )[:, :1]
+        return fold_dot(x, jnp.ones((128, 8), jnp.float32))[:, :1]
 
     g = g_ref[0]  # (Qt, D)
     G_all = jax.lax.dot_general(
@@ -270,14 +293,8 @@ def _bwd_kernel_sep(plan, P, prec, vdt, py_ref, px_ref, aw_ref, sy_ref,
             aw = aw_ref[0, :, k : k + 1]
             wy = jnp.maximum(1.0 - jnp.abs(py - sy), 0.0)
             wx = jnp.maximum(1.0 - jnp.abs(px - sx), 0.0)
-            Gx = jax.lax.dot_general(  # (Qt, 128): row-folded wx*G
-                wx * G, kc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            Gy = jax.lax.dot_general(  # (Qt, 128): col-folded wy*G
-                wy * G, kr, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            Gx = fold_dot(wx * G, kc)  # (Qt, 128): row-folded wx*G
+            Gy = fold_dot(wy * G, kr)  # (Qt, 128): col-folded wy*G
             term = aw * (wy * wx)
             wsum = term if wsum is None else wsum + term
             # per-axis tent factors on the tiny (Qt, 128) coord axis: every
