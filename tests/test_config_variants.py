@@ -125,3 +125,73 @@ def test_drop_matches_nn_dropout_semantics():
     y2 = Drop(rate, deterministic=False).apply(
         {}, x, rngs={"dropout": jax.random.PRNGKey(8)})
     assert not bool((y == y2).all())
+
+def test_enc_lite_interleaved_update():
+    """--enc_lite (Lite-DETR-style interleaved encoder, arXiv:2303.07335):
+    weight-compatible with the dense encoder, produces a different (cheaper)
+    program, and gradients flow through lo-only layers (the static-slice
+    concat path backprops)."""
+    from uvhand_tpu.losses.criterion import arctic_criterion
+    from uvhand_tpu.models.transformer import EncoderLayer
+
+    cfg = dict(COMMON, two_stage=True, with_box_refine=True)
+    cfg["num_encoder_layers"] = 3
+    dense = UVHandDETR(**cfg)
+    lite = UVHandDETR(**cfg, enc_lite=True, enc_lite_hi_every=2)
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (B, 64, 64, 3), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0)}
+    pd = dense.init(rngs, imgs)
+    pl = lite.init(rngs, imgs)
+    # weight-compatible: identical param trees (same names and shapes)
+    sd = jax.tree_util.tree_structure(pd)
+    sl = jax.tree_util.tree_structure(pl)
+    assert sd == sl
+    assert all(a.shape == b.shape
+               for a, b in zip(jax.tree.leaves(pd), jax.tree.leaves(pl)))
+
+    od = dense.apply(pd, imgs, train=False)
+    ol = lite.apply(pl, imgs, train=False)  # same init params (same rngs)
+    a = od["stacked"]["pred_hand_key"]
+    b = ol["stacked"]["pred_hand_key"]
+    assert a.shape == b.shape
+    assert np.isfinite(np.asarray(b, np.float32)).all()
+    assert float(jnp.abs(a - b).max()) > 0  # genuinely different program
+
+    # gradients reach the lo-only layer (encoder_layer0: (0+1)%2 != 0)
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    bank = objects.synthetic_object_bank(2)
+    targets = _tiny_targets(B)
+
+    def loss_fn(p):
+        out = lite.apply({"params": p}, imgs, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(3),
+                               "feature_mask": jax.random.PRNGKey(4)})
+        return arctic_criterion(out, targets, mano_r, mano_l, bank,
+                                two_stage=True)[0]
+
+    total, grads = jax.value_and_grad(loss_fn)(pl["params"])
+    assert np.isfinite(float(total))
+    enc0 = grads["transformer"]["encoder_layer0"]
+    g0 = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(enc0))
+    assert np.isfinite(g0) and g0 > 0
+
+
+def test_encoder_layer_value_default_is_identity():
+    """EncoderLayer(value=None) == EncoderLayer(value=src): the lite-path
+    plumbing does not perturb the classic self-attention semantics."""
+    from uvhand_tpu.models.transformer import (EncoderLayer,
+                                               encoder_reference_points)
+
+    layer = EncoderLayer(d_model=32, d_ffn=64, n_levels=1, n_heads=4,
+                         n_points=2)
+    B, H, W = 2, 4, 4
+    src = jax.random.normal(jax.random.PRNGKey(0), (B, H * W, 32))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (B, H * W, 32))
+    vr = jnp.ones((B, 1, 2))
+    ref = encoder_reference_points(((H, W),), vr)
+    mask = jnp.zeros((B, H * W), bool)
+    p = layer.init(jax.random.PRNGKey(2), src, pos, ref, ((H, W),), mask, False)
+    y0 = layer.apply(p, src, pos, ref, ((H, W),), mask, False)
+    y1 = layer.apply(p, src, pos, ref, ((H, W),), mask, False, src)
+    assert (jnp.asarray(y0) == jnp.asarray(y1)).all()

@@ -65,6 +65,13 @@ def get_args_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backprop "
                         "(lower HBM, ~15%% slower; needed for batch >= 24)")
+    p.add_argument("--enc_lite", action="store_true",
+                   help="Lite-DETR interleaved encoder: refine only low-res"
+                        " tokens in most encoder layers (speed flag; changes"
+                        " model semantics, weight-compatible checkpoints)")
+    p.add_argument("--enc_lite_hi_every", type=int, default=3,
+                   help="with --enc_lite: refine the full token set every"
+                        " k-th encoder layer (and always in the last)")
     p.add_argument("--visualization", action="store_true",
                    help="eval: dump 2D keypoint overlays instead of metrics"
                         " (settings.py:26, engine.py:740)")
@@ -221,6 +228,8 @@ def build_model(args):
         dn_number=getattr(args, "dn_number", 100),
         compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
         remat=getattr(args, "remat", False),
+        enc_lite=getattr(args, "enc_lite", False),
+        enc_lite_hi_every=getattr(args, "enc_lite_hi_every", 3),
         num_queries=args.num_queries,
         d_model=args.hidden_dim,
         n_heads=args.nheads,

@@ -86,6 +86,11 @@ class UVHandDETR(nn.Module):
     compute_dtype: 'jnp.dtype' = jnp.float32
     # rematerialize transformer layers in backprop (see DeformableTransformer)
     remat: bool = False
+    # Lite-DETR-style interleaved encoder update (see DeformableTransformer
+    # .enc_lite; arXiv:2303.07335) — serving/training speed flag, off by
+    # default; checkpoints are weight-compatible either way
+    enc_lite: bool = False
+    enc_lite_hi_every: int = 3
 
     def _posenc(self, mask):
         if self.position_embedding == "learned":
@@ -148,6 +153,8 @@ class UVHandDETR(nn.Module):
             look_forward_twice=self.look_forward_twice,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            enc_lite=self.enc_lite,
+            enc_lite_hi_every=self.enc_lite_hi_every,
             name="transformer",
         )
         if not self.two_stage:

@@ -103,12 +103,17 @@ class EncoderLayer(nn.Module):
     compute_dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
-    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, train: bool):
+    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, train: bool,
+                 value=None):
+        # `value`: optional full token sequence to sample from when `src` is
+        # only a subset of the queries (lite-encoder interleaved update);
+        # None = classic self-attention (values == queries)
         dt = self.compute_dtype
         q = src if pos is None else src + pos
         src2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                             compute_dtype=dt, name="self_attn")(
-            q, reference_points, src, spatial_shapes, padding_mask
+            q, reference_points, src if value is None else value,
+            spatial_shapes, padding_mask
         )
         src = src + Drop(self.dropout, deterministic=not train)(src2)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
@@ -264,6 +269,17 @@ class DeformableTransformer(nn.Module):
     # every intermediate, and detached+swapped interm keys (dino.py:376-378).
     # Numerically A/B'd against the reference in tests/test_reference_parity.py.
     dino_variant: bool = False
+    # Lite-DETR-style interleaved encoder update (arXiv:2303.07335), OFF by
+    # default (changes semantics vs the reference): most encoder layers
+    # refine only the low-resolution tokens (levels 1.., the trailing
+    # S - H0*W0 of the level-concatenated sequence — a contiguous static
+    # slice, no gathers); the full set incl. the ~75% level-0 tokens is
+    # refined every `enc_lite_hi_every`-th layer and always in the last
+    # layer (so two-stage proposals see a fully-updated memory). Low-res
+    # queries still SAMPLE from the full, partially-updated sequence every
+    # layer. Encoder MSDA+FFN cost on lo-only layers drops to ~25%.
+    enc_lite: bool = False
+    enc_lite_hi_every: int = 3
     compute_dtype: 'jnp.dtype' = jnp.float32
     # rematerialize encoder/decoder layers in the backward pass: drops every
     # layer's activations + the MSDA VJP residual layouts from HBM at the
@@ -486,8 +502,22 @@ class DeformableTransformer(nn.Module):
         # ---- encoder ----
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
         memory = src_flat
-        for layer in self.enc_layers:
-            memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
+        n_hi = spatial_shapes[0][0] * spatial_shapes[0][1]  # level-0 tokens
+        n_enc = len(self.enc_layers)
+        for i, layer in enumerate(self.enc_layers):
+            full = (not self.enc_lite
+                    or (i + 1) % self.enc_lite_hi_every == 0
+                    or i == n_enc - 1)
+            if full:
+                memory = layer(memory, pos_flat, enc_ref, spatial_shapes,
+                               mask_flat, train)
+            else:
+                # refine only the low-res levels (contiguous tail slice);
+                # they still sample from the FULL partially-updated sequence
+                lo = layer(memory[:, n_hi:], pos_flat[:, n_hi:],
+                           enc_ref[:, n_hi:], spatial_shapes, mask_flat,
+                           train, memory)
+                memory = jnp.concatenate([memory[:, :n_hi], lo], axis=1)
 
         # ---- decoder inputs ----
         enc_outputs = None
