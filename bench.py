@@ -58,11 +58,17 @@ def measure(dtype_name: str, batch, world) -> float:
     # HBM (B=32 dies with a device error without it; PERF.md round 3)
     remat = os.environ.get("UVHAND_BENCH_REMAT", "")
     remat = (BATCH >= 24) if remat == "" else remat == "1"
-    model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat)
+    # opt-in A/B knobs (semantic changes; kept out of the headline modes):
+    # UVHAND_BENCH_SR=1 -> bf16 params + stochastic-rounded updates
+    # UVHAND_BENCH_ENC_LITE=1 -> Lite-DETR interleaved encoder
+    sr = os.environ.get("UVHAND_BENCH_SR", "") == "1" and dtype_name == "bfloat16"
+    enc_lite = os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1"
+    model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat,
+                       enc_lite=enc_lite)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )
-    state = create_train_state(model, params, lr=2e-4)
+    state = create_train_state(model, params, lr=2e-4, bf16_params=sr)
     step = engine.make_fused_train_step(model, mano_r, mano_l, bank, jit=False)
 
     def one_step(carry, i):
@@ -98,6 +104,60 @@ def measure(dtype_name: str, batch, world) -> float:
     return BATCH * SCAN_STEPS / dt
 
 
+def measure_infer(dtype_name: str, batch, world) -> float:
+    """Serving throughput: image -> decoded MANO/object meshes + camera-space
+    joints (forward + query selection + MANO/articulated-object FK decode),
+    no GT anywhere. `intrinsics`/`query_idx` are serving-time metadata the
+    dataloader carries per frame. Inputs are varied inside the scan (this
+    stack reports ~0 ms for constant-input repeats, PERF.md gotchas)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvhand_tpu.evaluation.decode import decode_predictions
+    from uvhand_tpu.losses.criterion import select_queries
+    from uvhand_tpu.models.detr import UVHandDETR
+
+    mano_r, mano_l, bank = world
+    model = UVHandDETR(
+        compute_dtype=jnp.dtype(dtype_name),
+        enc_lite=os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1")
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
+    )
+    meta = {"intrinsics": batch["intrinsics"], "query_idx": batch["query_idx"]}
+
+    @jax.jit
+    def run_k(variables, images):
+        def one(carry, i):
+            imgs = images + i.astype(images.dtype) * 1e-6
+            out = model.apply(variables, imgs, train=False)
+            st = out["stacked"]
+            last = {k: v[-1] for k, v in st.items() if v is not None}
+            pred = decode_predictions(
+                select_queries(last), meta, mano_r, mano_l, bank)
+            return carry, pred["mano.j3d.cam.r"].sum()
+        _, sums = jax.lax.scan(one, 0.0, jnp.arange(SCAN_STEPS))
+        return sums
+
+    sums = run_k(variables, batch["images"])  # compile + warm
+    jax.block_until_ready(sums)
+    assert np.isfinite(np.asarray(sums, np.float32)).all(), sums
+
+    t0 = time.perf_counter()
+    sums = run_k(variables, batch["images"])
+    jax.block_until_ready(sums)
+    dt = time.perf_counter() - t0
+
+    prof = os.environ.get("UVHAND_BENCH_PROFILE", "")
+    if prof:
+        import jax.profiler
+
+        with jax.profiler.trace(os.path.join(prof, "infer_" + dtype_name)):
+            sums = run_k(variables, batch["images"])
+            jax.block_until_ready(sums)
+    return BATCH * SCAN_STEPS / dt
+
+
 def main():
     from uvhand_tpu.utils.cache import enable_compilation_cache
 
@@ -123,6 +183,15 @@ def main():
     world = (mano.synthetic_mano(0, True), mano.synthetic_mano(1, False), bank)
 
     out = {"metric": "train_frames_per_sec_chip", "unit": "frames/s"}
+    if os.environ.get("UVHAND_BENCH_ONLY", "") == "infer":
+        # serving-only scan (e.g. batch-size sweeps without the train step)
+        out["metric"] = "infer_frames_per_sec_chip"
+        dt = DTYPE or "bfloat16"
+        out["value"] = round(measure_infer(dt, batch, world), 2)
+        out["dtype"] = dt
+        out["batch"] = BATCH
+        print(json.dumps(out))
+        return
     if DTYPE:
         fps = measure(DTYPE, batch, world)
         out["value"] = round(fps, 2)
@@ -135,6 +204,11 @@ def main():
         out["vs_baseline"] = round(bf16 / REFERENCE_FPS_ESTIMATE, 3)
         out["fp32_value"] = round(fp32, 2)
         out["fp32_vs_baseline"] = round(fp32 / REFERENCE_FPS_ESTIMATE, 3)
+        if os.environ.get("UVHAND_BENCH_INFER", "1") == "1":
+            # serving mode: image -> decoded meshes/joints, no GT
+            out["infer_value"] = round(measure_infer("bfloat16", batch, world), 2)
+            out["infer_fp32_value"] = round(
+                measure_infer("float32", batch, world), 2)
     print(json.dumps(out))
 
 

@@ -195,3 +195,75 @@ def test_encoder_layer_value_default_is_identity():
     y0 = layer.apply(p, src, pos, ref, ((H, W),), mask, False)
     y1 = layer.apply(p, src, pos, ref, ((H, W),), mask, False, src)
     assert (jnp.asarray(y0) == jnp.asarray(y1)).all()
+
+
+def test_stochastic_round_bf16_unbiased_and_exact():
+    """SR(x) is unbiased between bf16 neighbors, exact on representables,
+    always one of the two neighbors, and deterministic per key."""
+    from uvhand_tpu.train.state import stochastic_round_bf16
+
+    lo = jnp.float32(jnp.bfloat16(1.0))          # representable
+    # bf16 stores 7 mantissa bits: the next value above 1.0 is 1 + 2^-7
+    hi = jnp.float32(jnp.asarray(1.0 + 2.0 ** -7, jnp.bfloat16))
+    assert float(hi) > float(lo)
+    frac = 0.25
+    x = lo + (hi - lo) * frac
+
+    # exact on representables (all random draws)
+    y = stochastic_round_bf16(jnp.full((1024,), lo), jax.random.PRNGKey(0))
+    assert y.dtype == jnp.bfloat16 and (jnp.float32(y) == lo).all()
+
+    y = stochastic_round_bf16(jnp.full((4096,), x), jax.random.PRNGKey(1))
+    yf = np.asarray(y, np.float32)
+    assert set(np.unique(yf)) <= {float(lo), float(hi)}
+    p_up = (yf == float(hi)).mean()
+    assert abs(p_up - frac) < 0.03, p_up          # unbiased within noise
+    # negative values round toward the matching neighbors too
+    yn = stochastic_round_bf16(jnp.full((4096,), -x), jax.random.PRNGKey(2))
+    assert set(np.unique(np.asarray(yn, np.float32))) <= {-float(lo), -float(hi)}
+    # deterministic per key
+    a = stochastic_round_bf16(jnp.full((64,), x), jax.random.PRNGKey(3))
+    b = stochastic_round_bf16(jnp.full((64,), x), jax.random.PRNGKey(3))
+    assert (jnp.float32(a) == jnp.float32(b)).all()
+
+
+def test_bf16_params_sr_train_state():
+    """bf16_params=True: params stored bf16, Adam moments f32, a train
+    step applies stochastic-rounded updates and stays finite; sub-ulp
+    updates survive in expectation (many params move by one ulp)."""
+    from uvhand_tpu.train.state import create_train_state as cts
+
+    model = UVHandDETR(**COMMON, two_stage=True, with_box_refine=True,
+                       compute_dtype=jnp.bfloat16)
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (B, 64, 64, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, imgs)
+    state = cts(model, params, lr=1e-4, bf16_params=True, sr_seed=7)
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(state.params))
+    moment_dtypes = {l.dtype for l in jax.tree.leaves(state.opt_state)
+                     if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)}
+    assert moment_dtypes == {jnp.dtype(jnp.float32)}, moment_dtypes
+
+    from uvhand_tpu.losses.criterion import arctic_criterion
+    mano_r = mano.synthetic_mano(0, True)
+    mano_l = mano.synthetic_mano(1, False)
+    bank = objects.synthetic_object_bank(2)
+    targets = _tiny_targets(B)
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, imgs, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3),
+                                "feature_mask": jax.random.PRNGKey(4)})
+        return arctic_criterion(out, targets, mano_r, mano_l, bank,
+                                two_stage=True)[0]
+
+    total, grads = jax.value_and_grad(loss_fn)(state.params)
+    assert np.isfinite(float(total))
+    new_state = state.apply_gradients(grads=grads)
+    assert int(new_state.step) == 1
+    leaves_new = jax.tree.leaves(new_state.params)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves_new)
+    moved = sum(int((jnp.float32(a) != jnp.float32(b)).sum())
+                for a, b in zip(jax.tree.leaves(state.params), leaves_new))
+    assert moved > 0
+    fin = all(bool(jnp.isfinite(jnp.float32(l)).all()) for l in leaves_new)
+    assert fin

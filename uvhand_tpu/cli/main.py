@@ -62,6 +62,10 @@ def get_args_parser():
                    help="enable denoising queries (same as --modelname dino)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 transformer compute (params stay fp32)")
+    p.add_argument("--bf16_params", action="store_true",
+                   help="store params in bf16 with stochastic-rounded "
+                        "updates (drops the fp32 master-copy HBM traffic; "
+                        "implies --bf16; changes numerics, opt-in)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backprop "
                         "(lower HBM, ~15%% slower; needed for batch >= 24)")
@@ -226,7 +230,9 @@ def build_model(args):
         # (use_detached_boxes_dec_out=False, deformable_transformer.py:810)
         look_forward_twice=use_dn,
         dn_number=getattr(args, "dn_number", 100),
-        compute_dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
+        compute_dtype=jnp.bfloat16
+        if (getattr(args, "bf16", False) or getattr(args, "bf16_params", False))
+        else jnp.float32,
         remat=getattr(args, "remat", False),
         enc_lite=getattr(args, "enc_lite", False),
         enc_lite_hi_every=getattr(args, "enc_lite_hi_every", 3),
@@ -359,6 +365,7 @@ def main(args):
         lr_linear_proj_mult=args.lr_linear_proj_mult,
         weight_decay=args.weight_decay, clip_max_norm=args.clip_max_norm,
         schedule=sched, sgd=args.sgd,
+        bf16_params=getattr(args, "bf16_params", False), sr_seed=args.seed,
     )
 
     def load_resume(st):
