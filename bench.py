@@ -209,6 +209,15 @@ def main():
             out["infer_value"] = round(measure_infer("bfloat16", batch, world), 2)
             out["infer_fp32_value"] = round(
                 measure_infer("float32", batch, world), 2)
+        if os.environ.get("UVHAND_BENCH_LITE", "1") == "1":
+            # opt-in fast mode (Lite-DETR interleaved encoder; semantics
+            # change, so it is reported beside the faithful headline)
+            os.environ["UVHAND_BENCH_ENC_LITE"] = "1"
+            try:
+                out["enc_lite_value"] = round(
+                    measure("bfloat16", batch, world), 2)
+            finally:
+                del os.environ["UVHAND_BENCH_ENC_LITE"]
     print(json.dumps(out))
 
 

@@ -187,3 +187,30 @@ def test_fast_dev_run_flag():
         args.window_size = 3
     assert (args.batch_size, args.trainsplit, args.valsplit,
             args.window_size) == (8, "minitrain", "minival", 3)
+
+
+def test_arctic_cli_train_smoke_bf16_params(root, tmp_path):
+    """--bf16_params trains one debug step through the CLI: the model runs
+    bf16 compute, params are stored bf16 and updated with stochastic
+    rounding (train/state.py::SRTrainState), and a checkpoint lands."""
+    import os
+
+    from uvhand_tpu.cli.main import main
+
+    coco = tmp_path / "data"
+    os.makedirs(str(coco), exist_ok=True)
+    os.symlink(root, str(coco / "arctic"))
+    argv = [
+        "--dataset_file", "arctic", "--coco_path", str(coco),
+        "--output_dir", str(tmp_path / "out"),
+        "--two_stage", "--with_box_refine",
+        "--enc_layers", "1", "--dec_layers", "1", "--hidden_dim", "64",
+        "--dim_feedforward", "64", "--nheads", "4", "--dropout", "0.0",
+        "--batch_size", "8", "--val_batch_size", "8",
+        "--debug", "--num_debug", "1", "--num_workers", "2",
+        "--epochs", "1", "--bf16_params",
+    ]
+    args = get_args_parser().parse_args(argv)
+    main(args)
+    # per-epoch checkpoint written (epoch 0)
+    assert (tmp_path / "out" / "0").is_dir()
