@@ -172,10 +172,13 @@ def main():
     from uvhand_tpu.data import arctic, loader
     from uvhand_tpu.geometry import mano, objects
 
-    # raw batch from the disk pipeline (synthetic ARCTIC root)
+    # raw batch from the disk pipeline (synthetic ARCTIC root); obj_bank
+    # makes the GT self-consistent so the criterion optimizes at its
+    # real-data scale instead of ill-conditioned ~1e6 camera terms
     root = tempfile.mkdtemp(prefix="uvhand_bench_")
-    arctic.make_synthetic_root(root, num_seqs=2, frames=(BATCH + 1) // 2, views=1)
     bank = objects.synthetic_object_bank(2)
+    arctic.make_synthetic_root(root, num_seqs=2, frames=(BATCH + 1) // 2, views=1,
+                               obj_bank=bank)
     ds = arctic.ArcticDataset(root, "p1", "train",
                               kp3d_cano=np.asarray(bank.kp_bottom))
     batch = next(iter(loader.DataLoader(ds, BATCH, shuffle=False, seed=0)))

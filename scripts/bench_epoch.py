@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--scan_workers", default="",
                     help="comma list, e.g. 1,2,4,8: print a host-pipeline "
                          "throughput table over worker counts x both modes")
+    ap.add_argument("--native", default="off", choices=["off", "on", "fast"],
+                    help="C++ fused image pipeline (uvhand_tpu/native)")
     args = ap.parse_args()
 
     if args.scan_workers or args.host_only:
@@ -63,13 +65,14 @@ def main():
     # full-res cropped images so decode cost is realistic (840x600 jpegs)
     views = 2
     seqs = max(1, args.frames // (views * 64))
-    arctic.make_synthetic_root(root, num_seqs=seqs, frames=64, views=views)
-
     bank = objects.synthetic_object_bank(2)
+    arctic.make_synthetic_root(root, num_seqs=seqs, frames=64, views=views,
+                               obj_bank=bank)
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
     ds = arctic.ArcticDataset(root, "p1", "train",
-                              kp3d_cano=np.asarray(bank.kp_bottom))
+                              kp3d_cano=np.asarray(bank.kp_bottom),
+                              native_images=args.native)
     n_frames = min(len(ds), args.frames)
 
     if args.scan_workers or args.host_only:

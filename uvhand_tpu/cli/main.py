@@ -85,6 +85,14 @@ def get_args_parser():
                    help="host decode pool: threads (cv2 releases the GIL) "
                         "or fork-based processes (torch-DataLoader-workers "
                         "equivalent for python-bound datasets)")
+    p.add_argument("--native_loader", default="off",
+                   choices=["off", "on", "fast"],
+                   help="C++ fused image pipeline (uvhand_tpu/native): 'on' "
+                        "= ROI-cropped full-res decode (OpenCV-identical), "
+                        "'fast' = additionally scale the JPEG decode to the "
+                        "crop window (geometry-exact, pixels approximate). "
+                        "Falls back to the Python path if the toolchain is "
+                        "missing.")
     p.add_argument("--not_use_optim_ckpt", action="store_true",
                    help="resume params only, fresh optimizer state")
     p.add_argument("--not_use_lr_scheduler_ckpt", action="store_true",
@@ -319,12 +327,13 @@ def main(args):
         root, args.setup, args.trainsplit, img_res=args.img_res,
         focal_length=args.focal_length, kp3d_cano=kp3d_cano,
         two_stage=args.two_stage, aug=args.use_augm or None,
+        native_images=args.native_loader,
     )
     ds_val = arctic_data.ArcticDataset(
         root, args.setup, args.valsplit, img_res=args.img_res,
         focal_length=args.focal_length, kp3d_cano=kp3d_cano,
         two_stage=args.two_stage, seq=args.seq,
-        viewpoint=args.test_viewpoint,
+        viewpoint=args.test_viewpoint, native_images=args.native_loader,
     )
     if args.method == "arctic_lstm" and not args.eval and not args.train_smoothnet:
         # temporal training: per-frame-centered windows (TempoDataset,

@@ -87,6 +87,7 @@ class ArcticDataset:
         eval_mode: bool = False,  # getitem_eval: images+K only, GT withheld
         seq: Optional[str] = None,  # single-sequence filter (--seq)
         viewpoint: Optional[str] = None,  # "sid/seq/view" filter (--test_viewpoint)
+        native_images: str = "off",  # "off" | "on" | "fast": C++ image path
     ):
         self.root = root
         self.img_res = img_res
@@ -124,6 +125,46 @@ class ArcticDataset:
         self.ioi_offset = {s: m["ioi_offset"] for s, m in misc.items()}
         self.kp3d_cano = kp3d_cano  # meters
         self.egocam_k = None
+        # native (C++) fused decode+blur+warp+normalize image path
+        # (uvhand_tpu/native): "on" = full-res decode (OpenCV-identical),
+        # "fast" = ROI + scaled libjpeg decode (geometry-exact, pixels
+        # approximate). Falls back to the Python path per-image on any
+        # decode failure, and entirely when the library can't build.
+        if native_images not in ("off", "on", "fast"):
+            raise ValueError(f"native_images={native_images!r}")
+        self.native_images = native_images
+        if native_images != "off":
+            from uvhand_tpu import native as _native
+
+            if not _native.available():
+                self.native_images = "off"
+
+    def _load_image(self, img_path, center, bbox_dim, augm):
+        """Image half of __getitem__: decode + rgb_processing + normalize.
+
+        Returns (img, ok). The native path fuses the whole chain in one
+        GIL-free C call (uvhand_tpu/native/pipeline.cpp); the Python path
+        reproduces the reference ops one by one (arctic_dataset.py:155-161
+        + data_utils rgb_processing)."""
+        import cv2
+
+        if self.native_images != "off":
+            from uvhand_tpu import native as _native
+
+            img = _native.process_image(
+                img_path, center, bbox_dim, augm, self.img_res,
+                fast=self.native_images == "fast")
+            if img is not None:
+                return img, True
+        cv_img = cv2.imread(img_path)
+        if cv_img is None:
+            cv_img = np.zeros((600, 840, 3), np.float32)
+            ok = False
+        else:
+            cv_img = cv2.cvtColor(cv_img, cv2.COLOR_BGR2RGB).astype(np.float32)
+            ok = True
+        img = augment.rgb_processing(cv_img, center, bbox_dim, augm, self.img_res)
+        return augment.normalize_image(img), ok
 
     def __len__(self):
         return len(self.imgnames)
@@ -209,16 +250,10 @@ class ArcticDataset:
             use_gt_k = True
             augm["sc"] = 1.0
 
-        import cv2
-
         img_path = self._img_path(imgname)
-        cv_img = cv2.imread(img_path)
-        img_ok = cv_img is not None
+        img, img_ok = self._load_image(img_path, center, scale, augm)
         if not img_ok:
-            cv_img = np.zeros((600, 840, 3), np.float32)
             is_valid = 0.0
-        else:
-            cv_img = cv2.cvtColor(cv_img, cv2.COLOR_BGR2RGB).astype(np.float32)
 
         j2d_r = augment.j2d_processing(j2d_r, center, scale, augm, self.img_res)
         j2d_l = augment.j2d_processing(j2d_l, center, scale, augm, self.img_res)
@@ -226,9 +261,6 @@ class ArcticDataset:
         kp2d_t = augment.j2d_processing(kp2d_t, center, scale, augm, self.img_res)
         bbox2d_b = augment.j2d_processing(bbox2d_b, center, scale, augm, self.img_res)
         bbox2d_t = augment.j2d_processing(bbox2d_t, center, scale, augm, self.img_res)
-
-        img = augment.rgb_processing(cv_img, center, scale, augm, self.img_res)
-        img = augment.normalize_image(img)
 
         pose_r = augment.pose_processing(pose_r, augm)
         pose_l = augment.pose_processing(pose_l, augm)
@@ -320,8 +352,6 @@ class ArcticDataset:
 
 
     def _getitem_eval(self, imgname, sid, seq_name, view_idx, vidx, bbox_all, params):
-        import cv2
-
         is_egocam = view_idx == 0
         if view_idx == 0 and "K_ego" in params:
             intrx = np.array(params["K_ego"][vidx], np.float32)
@@ -338,15 +368,8 @@ class ArcticDataset:
                 bbox = [500.0, 500.0, 1000.0 / (1.5 * 200)]
         center, scale = [bbox[0], bbox[1]], bbox[2]
 
-        cv_img = cv2.imread(self._img_path(imgname))
-        if cv_img is None:
-            cv_img = np.zeros((600, 840, 3), np.float32)
-        else:
-            cv_img = cv2.cvtColor(cv_img, cv2.COLOR_BGR2RGB).astype(np.float32)
         augm = augment.augm_params(np.random.default_rng(0), False)
-        img = augment.normalize_image(
-            augment.rgb_processing(cv_img, center, scale, augm, self.img_res)
-        )
+        img, _ = self._load_image(self._img_path(imgname), center, scale, augm)
         sc_orig = max(self.image_sizes[sid][view_idx]) / 200.0
         c_orig = [s / 2.0 for s in self.image_sizes[sid][view_idx]]
         K = augment.get_aug_intrinsics(
@@ -517,8 +540,20 @@ def collate_windows(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarra
 
 
 def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: int = 2,
-                        seed: int = 0, image_hw=(600, 840)) -> None:
-    """Write a miniature ARCTIC-layout dataset for pipeline tests."""
+                        seed: int = 0, image_hw=(600, 840), obj_bank=None) -> None:
+    """Write a miniature ARCTIC-layout dataset for pipeline tests.
+
+    With `obj_bank` (a geometry.objects.ObjectBank), the object GT is
+    SELF-CONSISTENT with that bank: per-frame kp3d/bbox3d are the bank's
+    canonical keypoints posed by a sampled (radian, rotation, translation)
+    — exactly what `process_targets` inverts (Kabsch rigid fit + LSQ
+    camera-translation solve). Without it (default, kept for existing
+    fixtures) those fields are independent random clouds; the GT solves
+    then return large, ill-conditioned translations (~1e2) and the camera
+    loss terms dominate the criterion at ~1e6 scale — harmless for
+    throughput benches, fatal for optimization studies. Use the bank for
+    anything that trains more than a few steps on this data.
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -550,8 +585,42 @@ def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: in
         mk = lambda *shape: rng.normal(size=shape).astype(np.float32)
         jr_3d = mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
         jl_3d = mk(F, V, 21, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
-        bb_3d = mk(F, V, 16, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
-        kp_3d = mk(F, V, 32, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+        obj_arti = np.abs(mk(F)) * 0.5
+        if obj_bank is None:
+            bb_3d = mk(F, V, 16, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+            kp_3d = mk(F, V, 32, 3) * 0.1 + np.array([0, 0, 0.6], np.float32)
+        else:
+            # pose the bank's canonical object: top gets R_glob @ R_arti(z),
+            # bottom R_glob only (object_forward semantics), plus a bounded
+            # translation in front of the camera
+            from scipy.spatial.transform import Rotation as _R
+
+            oidx = list(obj_bank.names).index(obj)
+            rot_aa = mk(F, 3) * 0.3
+            transl = (mk(F, 3) * np.array([0.08, 0.08, 0.05], np.float32)
+                      + np.array([0, 0, 0.6], np.float32))
+            Rg = _R.from_rotvec(rot_aa).as_matrix().astype(np.float32)
+            # rotate_about_axis(angle, z=[0,0,-1]) == rotvec(-angle * z_hat)
+            Ra = _R.from_rotvec(
+                obj_arti[:, None] * np.array([0.0, 0.0, -1.0])
+            ).as_matrix().astype(np.float32)
+            kt = np.asarray(obj_bank.kp_top[oidx], np.float32)
+            kb = np.asarray(obj_bank.kp_bottom[oidx], np.float32)
+            bt = np.asarray(obj_bank.bbox_top[oidx], np.float32)
+            bb = np.asarray(obj_bank.bbox_bottom[oidx], np.float32)
+            top_R = np.einsum("fij,fjk->fik", Rg, Ra)
+            pose_pts = lambda R, pts: (
+                np.einsum("fij,nj->fni", R, pts) + transl[:, None]
+            ).astype(np.float32)
+            kp_3d = np.concatenate([pose_pts(top_R, kt), pose_pts(Rg, kb)], 1)
+            bb_3d = np.concatenate([pose_pts(top_R, bt), pose_pts(Rg, bb)], 1)
+            kp_3d = np.repeat(kp_3d[:, None], V, axis=1)
+            bb_3d = np.repeat(bb_3d[:, None], V, axis=1)
+            # hands near the object so relative-translation terms stay small
+            jr_3d = (mk(F, 1, 21, 3) * 0.05 + transl[:, None, None, :]
+                     ).repeat(V, 1).astype(np.float32)
+            jl_3d = (mk(F, 1, 21, 3) * 0.05 + transl[:, None, None, :]
+                     ).repeat(V, 1).astype(np.float32)
 
         def project(p3d):
             # 2D keypoints are real projections of the 3D GT (view 0 uses the
@@ -597,7 +666,7 @@ def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: in
                 "shape_r": mk(F, 10) * 0.5,
                 "shape_l": mk(F, 10) * 0.5,
                 "dist": mk(F, 8) * 0.01,
-                "obj_arti": np.abs(mk(F)) * 0.5,
+                "obj_arti": obj_arti,
             },
         }
         for v in range(V):
