@@ -12,7 +12,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(logdir, batch, steps, bf16=True):
+def capture(logdir, batch, steps, bf16=True, enc_lite=False):
     """Profile the PRODUCTION program (same builder as bench.py/cli)."""
     import tempfile
 
@@ -32,8 +32,9 @@ def capture(logdir, batch, steps, bf16=True):
     from uvhand_tpu.train.state import create_train_state
 
     root = tempfile.mkdtemp(prefix="uvhand_prof_")
-    arctic.make_synthetic_root(root, num_seqs=2, frames=(batch + 1) // 2, views=1)
     bank = objects.synthetic_object_bank(2)
+    arctic.make_synthetic_root(root, num_seqs=2, frames=(batch + 1) // 2, views=1,
+                               obj_bank=bank)
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
     ds = arctic.ArcticDataset(root, "p1", "train",
@@ -41,7 +42,8 @@ def capture(logdir, batch, steps, bf16=True):
     b = next(iter(loader.DataLoader(ds, batch, shuffle=False, seed=0)))
     b = {k: jnp.asarray(v) for k, v in b.items()}
 
-    model = UVHandDETR(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    model = UVHandDETR(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                       enc_lite=enc_lite)
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
                                  b["images"][:1])
     state = create_train_state(model, params, lr=2e-4)
@@ -107,9 +109,11 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--enc_lite", action="store_true")
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
     if not args.report_only:
         os.makedirs(args.logdir, exist_ok=True)
-        capture(args.logdir, args.batch, args.steps, bf16=not args.fp32)
+        capture(args.logdir, args.batch, args.steps, bf16=not args.fp32,
+                enc_lite=args.enc_lite)
     report(args.logdir)

@@ -44,16 +44,17 @@ def _build() -> str | None:
     so = os.path.join(_cache_dir(), f"libuvpipeline_{tag}.so")
     if os.path.exists(so):
         return so
+    tmp = f"{so}.{os.getpid()}.tmp"  # per-process: concurrent builders race
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-        "-I/usr/include/opencv4", "-o", so + ".tmp",
+        "-I/usr/include/opencv4", "-o", tmp,
         "-lopencv_core", "-lopencv_imgproc", "-lopencv_imgcodecs", "-ljpeg",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)  # atomic; last writer wins with identical bytes
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return None
-    os.replace(so + ".tmp", so)
     return so
 
 
