@@ -63,8 +63,11 @@ def measure(dtype_name: str, batch, world) -> float:
     # UVHAND_BENCH_ENC_LITE=1 -> Lite-DETR interleaved encoder
     sr = os.environ.get("UVHAND_BENCH_SR", "") == "1" and dtype_name == "bfloat16"
     enc_lite = os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1"
+    # UVHAND_BENCH_S2D=0 opts OUT of the space-to-depth stem (exact-math
+    # rewrite of the same stem parameters; default on in the bench)
+    s2d = os.environ.get("UVHAND_BENCH_S2D", "1") == "1"
     model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat,
-                       enc_lite=enc_lite)
+                       enc_lite=enc_lite, stem_s2d=s2d)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )
@@ -120,7 +123,8 @@ def measure_infer(dtype_name: str, batch, world) -> float:
     mano_r, mano_l, bank = world
     model = UVHandDETR(
         compute_dtype=jnp.dtype(dtype_name),
-        enc_lite=os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1")
+        enc_lite=os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1",
+        stem_s2d=os.environ.get("UVHAND_BENCH_S2D", "1") == "1")
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )

@@ -167,3 +167,36 @@ def test_swin_converter_structure(rng):
     assert ref_paths == got_paths, set(ref_paths).symmetric_difference(got_paths)
     outs = model.apply(params, jnp.zeros((1, 64, 64, 3)))
     assert [o.shape[-1] for o in outs] == [192, 384, 768]
+
+
+def test_stem_s2d_exact():
+    """Space-to-depth stem == plain 7x7 stride-2 stem, same params.
+
+    The rewrite (StemConv.s2d) changes only the conv's summation order; both
+    paths consume the identical (7,7,3,64) `conv1/kernel`, so checkpoints and
+    the torchvision converter are oblivious to the flag.
+    """
+    from uvhand_tpu.models.backbones.resnet import StemConv
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
+    plain, s2d = StemConv(s2d=False), StemConv(s2d=True)
+    params = plain.init(jax.random.PRNGKey(1), x)
+    ya = plain.apply(params, x)
+    yb = s2d.apply(params, x)
+    assert ya.shape == yb.shape == (2, 32, 32, 64)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
+    # gradients flow into the ORIGINAL kernel layout through the rewrite
+    g = jax.grad(lambda p: s2d.apply(p, x).sum())(params)
+    assert g["params"]["kernel"].shape == (7, 7, 3, 64)
+    assert np.isfinite(np.asarray(g["params"]["kernel"])).all()
+    # full backbone: flag produces the same feature maps from the same tree
+    m_plain = ResNet50()
+    m_s2d = ResNet50(stem_s2d=True)
+    bp = m_plain.init(jax.random.PRNGKey(2), x)
+    oa = m_plain.apply(bp, x)
+    ob = m_s2d.apply(bp, x)
+    for a, b in zip(oa, ob):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

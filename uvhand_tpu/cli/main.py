@@ -76,6 +76,11 @@ def get_args_parser():
     p.add_argument("--enc_lite_hi_every", type=int, default=3,
                    help="with --enc_lite: refine the full token set every"
                         " k-th encoder layer (and always in the last)")
+    p.add_argument("--stem_s2d", default="on", choices=["on", "off"],
+                   help="space-to-depth rewrite of the ResNet stem conv "
+                        "(same function of the same checkpoint params, "
+                        "MXU-friendly shape; exact up to conv summation "
+                        "order)")
     p.add_argument("--visualization", action="store_true",
                    help="eval: dump 2D keypoint overlays instead of metrics"
                         " (settings.py:26, engine.py:740)")
@@ -242,6 +247,7 @@ def build_model(args):
         if (getattr(args, "bf16", False) or getattr(args, "bf16_params", False))
         else jnp.float32,
         remat=getattr(args, "remat", False),
+        stem_s2d=getattr(args, "stem_s2d", "off") == "on",
         enc_lite=getattr(args, "enc_lite", False),
         enc_lite_hi_every=getattr(args, "enc_lite_hi_every", 3),
         num_queries=args.num_queries,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -37,6 +38,44 @@ class FrozenBatchNorm(nn.Module):
         # freezes BN entirely.
         inv = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
         return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
+
+
+class StemConv(nn.Module):
+    """The 7x7 stride-2 stem conv, optionally as a space-to-depth rewrite.
+
+    The 3-input-channel 7x7 conv starves the MXU (contraction dim 147 of
+    which only 3 channels are dense per tap; XLA feeds the systolic array at
+    a few percent utilization). The MLPerf-style rewrite pads the kernel to
+    8x8, space-to-depths the (padded) input by the stride (2x2 -> 12
+    channels) and runs an equivalent 4x4 stride-1 conv — the SAME function
+    of the SAME (7,7,3,64) parameter (exact in exact arithmetic; summation
+    order differs, so bf16/fp32 results drift by ~1 ulp of the conv).
+
+    The parameter keeps the nn.Conv layout (`kernel` (7,7,3,64) HWIO) so
+    torchvision conversion and checkpoints are identical either way.
+    """
+
+    s2d: bool = False
+    dtype: 'jnp.dtype' = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, 3, 64)).astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        b, h, w, c = xp.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        y = xp.reshape(b, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        kp = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8,8,3,64)
+        ks = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+        ks = ks.reshape(4, 4, 4 * c, 64)
+        return jax.lax.conv_general_dilated(
+            y, ks, (1, 1), "VALID", dimension_numbers=dn)
 
 
 class Bottleneck(nn.Module):
@@ -74,12 +113,12 @@ class ResNet50(nn.Module):
     blocks: Sequence[int] = (3, 4, 6, 3)
     return_interm_layers: bool = True
     dtype: 'jnp.dtype' = jnp.float32  # conv compute dtype (params stay fp32)
+    stem_s2d: bool = False  # space-to-depth stem (see StemConv)
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, 3)
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConv(s2d=self.stem_s2d, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -91,6 +91,10 @@ class UVHandDETR(nn.Module):
     # default; checkpoints are weight-compatible either way
     enc_lite: bool = False
     enc_lite_hi_every: int = 3
+    # space-to-depth stem conv rewrite (backbones/resnet.py::StemConv) —
+    # same function of the same parameters, MXU-friendly shape; exact up to
+    # conv summation order, so off by default to keep goldens decoder-pinned
+    stem_s2d: bool = False
 
     def _posenc(self, mask):
         if self.position_embedding == "learned":
@@ -104,7 +108,9 @@ class UVHandDETR(nn.Module):
     def setup(self):
         if self.feature_type == "origin":
             if self.backbone == "resnet50":
-                self.backbone_net = ResNet50(dtype=self.compute_dtype, name="backbone")
+                self.backbone_net = ResNet50(dtype=self.compute_dtype,
+                                             stem_s2d=self.stem_s2d,
+                                             name="backbone")
                 self.backbone_channels = RESNET50_CHANNELS
             elif self.backbone == "swin_L_384_22k":
                 from .backbones.swin import SwinTransformer, SWIN_L_CHANNELS
