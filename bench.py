@@ -1,21 +1,28 @@
 """Benchmark harness: flagship-model training throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+DRIVER CONTRACT (round 4, after BENCH_r03 timed out with zero output):
+the bf16 headline is measured FIRST and its JSON line is printed and
+flushed IMMEDIATELY — before any other program compiles. Every other
+mode (fp32 parity, serving, enc_lite) is best-effort: measured only
+while inside the wall-clock budget (UVHAND_BENCH_BUDGET_S, default
+1200 s), each printed as its own JSON line as soon as it lands, and a
+failure or timeout in an extra can no longer cost the headline.
 
-Round 3: measures the PRODUCTION program — `engine.make_fused_train_step`
+The FIRST printed line is the headline:
+  {"metric": "train_frames_per_sec_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N, "dtype": "bfloat16"}
+
+Measures the PRODUCTION program — `engine.make_fused_train_step`
 (GT preprocessing incl. object FK, batched Kabsch, MANO FK and the camera
 translation solve, then forward + criterion + AdamW), the same builder
 `cli/main.py` trains with, on a raw batch from the disk-backed synthetic
-ARCTIC pipeline. Round 2's bench skipped `process_targets`, measuring a
-different (lighter) program than training (VERDICT r2 weak #3/#5).
-
-Reports BOTH the bf16 headline and the fp32 reference-parity mode.
+ARCTIC pipeline.
 
 Measures K train steps chained inside ONE jitted `lax.scan`: in this
-container the TPU is reached through a loopback relay that adds ~400 ms of
-dispatch latency per program launch, so per-call walls measure the tunnel,
-not the chip. A production local host pipelines async dispatch, which the
-scan emulates faithfully.
+container the TPU is reached through a loopback relay that adds ~180 ms
+of dispatch latency per program launch, so per-call walls measure the
+tunnel, not the chip. A production local host pipelines async dispatch,
+which the scan emulates faithfully.
 
 The reference publishes no throughput numbers (BASELINE.md). `vs_baseline`
 is computed against REFERENCE_FPS_ESTIMATE: a documented estimate of the
@@ -28,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -43,6 +51,14 @@ DTYPE = os.environ.get("UVHAND_BENCH_DTYPE", "")
 # ms/step artifact on the reading; 60 amortizes it to ~3 ms. Device
 # self-time per step is the tunnel-free number (UVHAND_BENCH_PROFILE).
 SCAN_STEPS = int(os.environ.get("UVHAND_BENCH_SCAN", 60))
+# wall-clock budget for the best-effort extra modes. The headline ignores
+# it (a headline-less bench is worthless); extras start only while under.
+BUDGET_S = float(os.environ.get("UVHAND_BENCH_BUDGET_S", 1200))
+_T0 = time.monotonic()
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
 
 
 def measure(dtype_name: str, batch, world) -> float:
@@ -142,7 +158,6 @@ def measure_infer(dtype_name: str, batch, world) -> float:
             return carry, pred["mano.j3d.cam.r"].sum()
         _, sums = jax.lax.scan(one, 0.0, jnp.arange(SCAN_STEPS))
         return sums
-
     sums = run_k(variables, batch["images"])  # compile + warm
     jax.block_until_ready(sums)
     assert np.isfinite(np.asarray(sums, np.float32)).all(), sums
@@ -160,6 +175,10 @@ def measure_infer(dtype_name: str, batch, world) -> float:
             sums = run_k(variables, batch["images"])
             jax.block_until_ready(sums)
     return BATCH * SCAN_STEPS / dt
+
+
+def _under_budget() -> bool:
+    return time.monotonic() - _T0 < BUDGET_S
 
 
 def main():
@@ -189,43 +208,63 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     world = (mano.synthetic_mano(0, True), mano.synthetic_mano(1, False), bank)
 
-    out = {"metric": "train_frames_per_sec_chip", "unit": "frames/s"}
     if os.environ.get("UVHAND_BENCH_ONLY", "") == "infer":
         # serving-only scan (e.g. batch-size sweeps without the train step)
-        out["metric"] = "infer_frames_per_sec_chip"
         dt = DTYPE or "bfloat16"
-        out["value"] = round(measure_infer(dt, batch, world), 2)
-        out["dtype"] = dt
-        out["batch"] = BATCH
-        print(json.dumps(out))
+        _emit({"metric": "infer_frames_per_sec_chip", "unit": "frames/s",
+               "value": round(measure_infer(dt, batch, world), 2),
+               "dtype": dt, "batch": BATCH})
         return
+
+    # ---- HEADLINE: measured first, printed first, flushed ----
+    headline_dtype = DTYPE or "bfloat16"
+    fps = measure(headline_dtype, batch, world)
+    _emit({"metric": "train_frames_per_sec_chip", "value": round(fps, 2),
+           "unit": "frames/s",
+           "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+           "dtype": headline_dtype})
     if DTYPE:
-        fps = measure(DTYPE, batch, world)
-        out["value"] = round(fps, 2)
-        out["vs_baseline"] = round(fps / REFERENCE_FPS_ESTIMATE, 3)
-        out["dtype"] = DTYPE
-    else:
-        bf16 = measure("bfloat16", batch, world)
-        fp32 = measure("float32", batch, world)
-        out["value"] = round(bf16, 2)
-        out["vs_baseline"] = round(bf16 / REFERENCE_FPS_ESTIMATE, 3)
-        out["fp32_value"] = round(fp32, 2)
-        out["fp32_vs_baseline"] = round(fp32 / REFERENCE_FPS_ESTIMATE, 3)
-        if os.environ.get("UVHAND_BENCH_INFER", "1") == "1":
-            # serving mode: image -> decoded meshes/joints, no GT
-            out["infer_value"] = round(measure_infer("bfloat16", batch, world), 2)
-            out["infer_fp32_value"] = round(
-                measure_infer("float32", batch, world), 2)
-        if os.environ.get("UVHAND_BENCH_LITE", "1") == "1":
+        return
+
+    # ---- best-effort extras: budget-gated, one JSON line each ----
+    extras = [
+        ("train_frames_per_sec_chip_fp32",
+         lambda: measure("float32", batch, world), {"dtype": "float32"}),
+        ("infer_frames_per_sec_chip",
+         lambda: measure_infer("bfloat16", batch, world),
+         {"dtype": "bfloat16"}),
+        ("infer_frames_per_sec_chip_fp32",
+         lambda: measure_infer("float32", batch, world),
+         {"dtype": "float32"}),
+    ]
+    if os.environ.get("UVHAND_BENCH_INFER", "1") != "1":
+        extras = extras[:1]
+    if os.environ.get("UVHAND_BENCH_LITE", "1") == "1":
+        def _enc_lite():
             # opt-in fast mode (Lite-DETR interleaved encoder; semantics
             # change, so it is reported beside the faithful headline)
             os.environ["UVHAND_BENCH_ENC_LITE"] = "1"
             try:
-                out["enc_lite_value"] = round(
-                    measure("bfloat16", batch, world), 2)
+                return measure("bfloat16", batch, world)
             finally:
                 del os.environ["UVHAND_BENCH_ENC_LITE"]
-    print(json.dumps(out))
+        extras.append(("train_frames_per_sec_chip_enc_lite", _enc_lite,
+                       {"dtype": "bfloat16", "mode": "enc_lite"}))
+    for metric, fn, meta in extras:
+        if not _under_budget():
+            _emit({"metric": metric, "skipped": "budget",
+                   "elapsed_s": round(time.monotonic() - _T0, 1)})
+            continue
+        try:
+            v = fn()
+        except Exception as e:  # an extra must never cost the headline
+            _emit({"metric": metric, "error": f"{type(e).__name__}: {e}"[:200]})
+            continue
+        row = {"metric": metric, "value": round(v, 2), "unit": "frames/s"}
+        if metric.startswith("train_"):
+            row["vs_baseline"] = round(v / REFERENCE_FPS_ESTIMATE, 3)
+        row.update(meta)
+        _emit(row)
 
 
 if __name__ == "__main__":

@@ -271,6 +271,174 @@ def import_reference_detr():
     return detr_mod, transformer_mod
 
 
+def _make_library_stubs(rot_mod):
+    """loguru / smplx / trimesh / easydict / pytorch3d stand-ins for the
+    arctic_tools import chain. The pytorch3d rotation functions alias the
+    reference's OWN `common/rot.py` (its vendored pytorch3d copy), so the
+    reference loss code computes rotations with the reference's exact math.
+    knn is a brute-force exact substitute (pytorch3d returns SQUARED dists).
+    """
+    import torch
+
+    def axis_angle_to_matrix(aa):
+        return rot_mod.quaternion_to_matrix(rot_mod.axis_angle_to_quaternion(aa))
+
+    def knn_points(p1, p2, lengths1=None, lengths2=None, K=1, **kw):
+        d = torch.cdist(p1.float(), p2.float()) ** 2
+        dists, idx = torch.topk(d, K, dim=2, largest=False)
+        return types.SimpleNamespace(dists=dists, idx=idx)
+
+    def knn_gather(x, idx):
+        # x (B, M, D), idx (B, N, K) -> (B, N, K, D)
+        B, N, K = idx.shape
+        flat = idx.reshape(B, N * K)
+        out = torch.gather(x, 1, flat[..., None].expand(-1, -1, x.shape[-1]))
+        return out.reshape(B, N, K, x.shape[-1])
+
+    class Meshes:
+        """verts_normals per pytorch3d: accumulate un-normalized face cross
+        products onto vertices, then L2-normalize."""
+
+        def __init__(self, verts, faces):
+            self.verts, self.faces = verts, faces
+
+        def verts_normals_packed(self):
+            v, f = self.verts, self.faces
+            B = v.shape[0]
+            normals = torch.zeros_like(v)
+            for b in range(B):
+                tri = v[b][f[b]]  # (F, 3, 3)
+                fn = torch.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0], dim=1)
+                for k in range(3):
+                    normals[b].index_add_(0, f[b][:, k], fn)
+            return torch.nn.functional.normalize(normals, dim=-1).reshape(-1, 3)
+
+    p3d = types.ModuleType("pytorch3d")
+    p3d_t = types.ModuleType("pytorch3d.transforms")
+    p3d_rc = types.ModuleType("pytorch3d.transforms.rotation_conversions")
+    p3d_rc.axis_angle_to_matrix = axis_angle_to_matrix
+    p3d_t.axis_angle_to_matrix = axis_angle_to_matrix
+    p3d_t.matrix_to_axis_angle = rot_mod.matrix_to_axis_angle
+    p3d_t.rotation_conversions = p3d_rc
+    p3d_s = types.ModuleType("pytorch3d.structures")
+    p3d_s.Meshes = Meshes
+    p3d_o = types.ModuleType("pytorch3d.ops")
+    p3d_knn = types.ModuleType("pytorch3d.ops.knn")
+    p3d_knn.knn_points = knn_points
+    p3d_knn.knn_gather = knn_gather
+    p3d_o.knn = p3d_knn
+    p3d_o.knn_points = knn_points
+    p3d.transforms = p3d_t
+    p3d.structures = p3d_s
+    p3d.ops = p3d_o
+
+    class _Logger:
+        def __getattr__(self, _):
+            return lambda *a, **k: None
+
+    class EasyDict(dict):
+        __getattr__ = dict.__getitem__
+        __setattr__ = dict.__setitem__  # type: ignore[assignment]
+
+    class _MANO:  # never instantiated (pre_process_models are passed in)
+        def __init__(self, *a, **k):
+            raise RuntimeError("smplx stub: MANO models are not available")
+
+    mods = {
+        "pytorch3d": p3d,
+        "pytorch3d.transforms": p3d_t,
+        "pytorch3d.transforms.rotation_conversions": p3d_rc,
+        "pytorch3d.structures": p3d_s,
+        "pytorch3d.ops": p3d_o,
+        "pytorch3d.ops.knn": p3d_knn,
+        "loguru": _stub("loguru", logger=_Logger()),
+        "smplx": _stub("smplx", MANO=_MANO),
+        # common/mesh.py subclasses trimesh.Trimesh at module level
+        "trimesh": _stub("trimesh", Trimesh=object, load=_MANO),
+        "easydict": _stub("easydict", EasyDict=EasyDict),
+    }
+    for name, mod in mods.items():
+        sys.modules.setdefault(name, mod)
+
+
+def import_reference_loss():
+    """-> SimpleNamespace with the REAL reference loss/eval/matcher modules,
+    importable + runnable on CPU.
+
+    Replaces the `install_stubs()` placeholder entries for `arctic_tools.*`
+    with proper namespace packages rooted at the reference tree (plus the
+    top-level `common`/`src` aliases its intra-package imports use), so
+    `loss_arctic_sf.compute_small_loss` / `SetArcticCriterion` run the
+    reference's actual code — not a stub.
+    """
+    install_stubs()
+    import importlib
+
+    for k in list(sys.modules):
+        if k == "arctic_tools" or k.startswith("arctic_tools."):
+            del sys.modules[k]
+
+    def pkg(name, path):
+        m = types.ModuleType(name)
+        m.__path__ = [path]
+        sys.modules[name] = m
+        return m
+
+    pkg("arctic_tools", f"{REF}/arctic_tools")
+    if not hasattr(sys.modules.get("common"), "__path__"):
+        pkg("common", f"{REF}/arctic_tools/common")
+    if not hasattr(sys.modules.get("src"), "__path__"):
+        pkg("src", f"{REF}/arctic_tools/src")
+
+    rot = importlib.import_module("common.rot")
+    _make_library_stubs(rot)
+
+    ref = types.SimpleNamespace(rot=rot)
+    ref.camera = importlib.import_module("arctic_tools.common.camera")
+    ref.transforms = importlib.import_module("arctic_tools.common.transforms")
+    ref.data_utils = importlib.import_module("arctic_tools.common.data_utils")
+    ref.loss_modules = importlib.import_module(
+        "arctic_tools.src.utils.loss_modules")
+    ref.loss_arctic_sf = importlib.import_module(
+        "arctic_tools.src.callbacks.loss.loss_arctic_sf")
+    ref.eval_modules = importlib.import_module(
+        "arctic_tools.src.utils.eval_modules")
+    ref.process = importlib.import_module("arctic_tools.process")
+    ref.matcher = importlib.import_module("models.matcher")
+    return ref
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def torch_cuda_as_cpu():
+    """Remap the reference's hard-coded `.to('cuda')` / `.cuda()` calls
+    (e.g. actic_detr.py loss_labels/loss_boxes, loss_arctic_sf zero-branches)
+    to CPU for the duration of the block."""
+    import torch
+
+    orig_to, orig_cuda = torch.Tensor.to, torch.Tensor.cuda
+
+    def _is_cuda(x):
+        return (isinstance(x, str) and x.startswith("cuda")) or (
+            isinstance(x, torch.device) and x.type == "cuda")
+
+    def _to(self, *args, **kwargs):
+        args = tuple("cpu" if _is_cuda(a) else a for a in args)
+        if _is_cuda(kwargs.get("device")):
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    try:
+        torch.Tensor.to = _to
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        yield
+    finally:
+        torch.Tensor.to = orig_to
+        torch.Tensor.cuda = orig_cuda
+
+
 def import_reference_dino():
     """-> (dino module, dino deformable_transformer module); the DINO tree
     carries its OWN copy of the MSDA extension (`models/dino/ops/`), patched

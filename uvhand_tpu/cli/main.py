@@ -108,10 +108,10 @@ def get_args_parser():
                    choices=["sine", "learned"])
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false",
                    default=True)
-    p.add_argument("--set_cost_class", default=2.0, type=float,
-                   help="matcher class cost weight")
-    p.add_argument("--set_cost_keypoint", default=5.0, type=float,
-                   help="matcher keypoint L1 cost weight")
+    p.add_argument("--set_cost_class", default=1.5, type=float,
+                   help="matcher class cost weight (settings.py:131)")
+    p.add_argument("--set_cost_keypoint", default=4.0, type=float,
+                   help="matcher keypoint L1 cost weight (settings.py:133)")
     p.add_argument("--config_file", "-c", default="", type=str,
                    help="SLConfig .py file merged into args"
                         " (settings.py:528-560 set_dino_args)")

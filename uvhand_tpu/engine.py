@@ -55,7 +55,7 @@ def global_norm(tree) -> jnp.ndarray:
 
 def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
                           weights=None, two_stage=True,
-                          cost_class=2.0, cost_keypoint=5.0,
+                          cost_class=1.5, cost_keypoint=4.0,
                           preprocess=True, jit=True):
     """Raw batch -> GT preprocess -> fwd -> criterion -> update, one program.
 
@@ -98,8 +98,8 @@ def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
 
 
 def make_loss_fn(model, mano_r, mano_l, obj_bank, img_res=224.0,
-                 weights=None, two_stage=True, cost_class=2.0,
-                 cost_keypoint=5.0, preprocess=True):
+                 weights=None, two_stage=True, cost_class=1.5,
+                 cost_keypoint=4.0, preprocess=True):
     """(params, batch, rng) -> (total, loss_dict) — the training objective
     shared by the fused step and the sharding validators
     (scripts/aot_multichip.py wraps it in a dp-manual shard_map)."""

@@ -202,15 +202,25 @@ def compute_small_loss(
     cam_t_l = camera.weak_perspective_to_perspective(pred["root.l"], avg_f, img_res)
     cam_t_o = camera.weak_perspective_to_perspective(pred["root.o"], avg_f, img_res)
 
+    # EXACT reference masking semantics (loss_arctic_sf.py:225-348): the
+    # hand branches run iff sum(is_valid*hand_valid) != 0 (all-or-nothing
+    # gate per hand), but INSIDE a branch the masks are the PLAIN
+    # left/right/joints valids — is_valid multiplies only where the
+    # reference multiplies it (object/transl, contact deviation). The
+    # round-4 loss A/B (tests/test_reference_parity_loss.py) caught the
+    # previous `*is_valid`-everywhere version drifting on frames with
+    # is_valid=0 but hand_valid=1.
     is_valid = gt["is_valid"].astype(jnp.float32)
-    right_valid = gt["right_valid"].astype(jnp.float32) * is_valid
-    left_valid = gt["left_valid"].astype(jnp.float32) * is_valid
-    jv_r = gt["joints_valid_r"].astype(jnp.float32) * right_valid[:, None]
-    jv_l = gt["joints_valid_l"].astype(jnp.float32) * left_valid[:, None]
+    right_valid = gt["right_valid"].astype(jnp.float32)
+    left_valid = gt["left_valid"].astype(jnp.float32)
+    gate_r = (jnp.sum(is_valid * right_valid) > 0).astype(jnp.float32)
+    gate_l = (jnp.sum(is_valid * left_valid) > 0).astype(jnp.float32)
+    jv_r = gt["joints_valid_r"].astype(jnp.float32)
+    jv_l = gt["joints_valid_l"].astype(jnp.float32)
 
     out: Dict[str, jnp.ndarray] = {}
 
-    def hand_losses(side, mano_model, cam_t, hand_valid, jv):
+    def hand_losses(side, mano_model, cam_t, hand_valid, jv, gate):
         pose = pred[f"pose.{side}"]
         beta = pred[f"beta.{side}"]
         verts, joints = mano_forward(
@@ -223,37 +233,41 @@ def compute_small_loss(
         gt_pose_m = axis_angle_to_matrix(gt[f"mano.pose.{side}"].reshape(-1, 16, 3))
         pose_m = axis_angle_to_matrix(pose.reshape(-1, 16, 3))
 
-        out[f"loss/mano/kp2d/{side}"] = joints_mean(
+        out[f"loss/mano/kp2d/{side}"] = gate * joints_mean(
             (j2d - gt[f"mano.j2d.norm.{side}"]) ** 2, jv
         )
-        out[f"loss/mano/pose/{side}"] = masked_row_mean(
+        out[f"loss/mano/pose/{side}"] = gate * masked_row_mean(
             (pose_m - gt_pose_m) ** 2, hand_valid
         )
-        out[f"loss/mano/beta/{side}"] = masked_row_mean(
+        out[f"loss/mano/beta/{side}"] = gate * masked_row_mean(
             (beta - gt[f"mano.beta.{side}"]) ** 2, hand_valid
         )
-        out[f"loss/mano/cam_t/{side}"] = masked_row_mean(
+        out[f"loss/mano/cam_t/{side}"] = gate * masked_row_mean(
             (pred[f"root.{side}"] - gt[f"mano.cam_t.wp.{side}"]) ** 2, hand_valid
         )
         # root-aligned kp3d (hand_kp3d_loss -> keypoint_3d_loss: double
         # root-subtraction is idempotent)
         pr = j3d_cam - j3d_cam[:, :1]
         gtr = gt[f"mano.j3d.cam.{side}"] - gt[f"mano.j3d.cam.{side}"][:, :1]
-        out[f"loss/mano/kp3d/{side}"] = joints_mean((pr - gtr) ** 2, jv)
+        out[f"loss/mano/kp3d/{side}"] = gate * joints_mean((pr - gtr) ** 2, jv)
         return v3d_cam, j3d_cam, j2d
 
-    v3d_cam_l, _, _ = hand_losses("l", mano_l, cam_t_l, left_valid, jv_l)
-    v3d_cam_r, _, _ = hand_losses("r", mano_r, cam_t_r, right_valid, jv_r)
+    v3d_cam_l, _, _ = hand_losses("l", mano_l, cam_t_l, left_valid, jv_l, gate_l)
+    v3d_cam_r, _, _ = hand_losses("r", mano_r, cam_t_r, right_valid, jv_r, gate_r)
 
-    out["loss/object/transl"] = masked_row_mean(
+    # loss/object/transl lives inside the reference's r-hand branch
+    # (loss_arctic_sf.py:327-332): gate_r, mask right_valid * is_valid
+    out["loss/object/transl"] = gate_r * masked_row_mean(
         (
             (pred["root.o"] - pred["root.r"])
             - (gt["object.cam_t.wp"] - gt["mano.cam_t.wp.r"])
         )
         ** 2,
-        right_valid,
+        right_valid * is_valid,
     )
-    out["loss/mano/transl/l"] = masked_row_mean(
+    # transl/l requires BOTH branches live (loss_arctic_sf.py:340-348);
+    # its mask is the plain right*left product (no is_valid)
+    out["loss/mano/transl/l"] = gate_l * gate_r * masked_row_mean(
         (
             (pred["root.l"] - pred["root.r"])
             - (gt["mano.cam_t.wp.l"] - gt["mano.cam_t.wp.r"])
@@ -308,9 +322,14 @@ def compute_small_loss(
         has = jnp.sum(contact, 1) > 0
         return jnp.sum(per_sample * has) / jnp.maximum(jnp.sum(has), 1)
 
-    cd_ro = contact_dev(v3d_cam_o, v3d_cam_r, gt["dist.ro"], gt["idx.ro"], right_valid)
-    cd_lo = contact_dev(v3d_cam_o, v3d_cam_l, gt["dist.lo"], gt["idx.lo"], left_valid)
-    out["loss/cd"] = cd_ro + cd_lo
+    # contact_deviation multiplies is_valid into the hand mask internally
+    # (loss_modules.py:213 right_valid = _right_valid * is_valid); each
+    # hand's term only exists when its branch produced verts (gate)
+    cd_ro = contact_dev(
+        v3d_cam_o, v3d_cam_r, gt["dist.ro"], gt["idx.ro"], right_valid * is_valid)
+    cd_lo = contact_dev(
+        v3d_cam_o, v3d_cam_l, gt["dist.lo"], gt["idx.lo"], left_valid * is_valid)
+    out["loss/cd"] = gate_r * cd_ro + gate_l * cd_lo
     return out
 
 
@@ -327,8 +346,10 @@ def arctic_criterion(
     weights: Dict[str, float] | None = None,
     two_stage: bool = True,
     axis_name: str | None = None,
-    cost_class: float = 2.0,
-    cost_keypoint: float = 5.0,
+    # matcher cost defaults = the reference arctic parser's set_cost_class /
+    # set_cost_keypoint (util/settings.py:131-133); NOT the 2/5 loss coefs
+    cost_class: float = 1.5,
+    cost_keypoint: float = 4.0,
 ):
     """Returns (total_loss, loss_dict). All decoder layers in one vmap."""
     if weights is None:
@@ -340,7 +361,10 @@ def arctic_criterion(
     tgt_kps = targets["keypoints"]
     tgt_valid = targets["target_valid"] & (targets["is_valid"][:, None] > 0)
 
-    num_boxes = jnp.sum(tgt_valid).astype(jnp.float32)
+    # num_boxes counts EVERY target slot, including frame-invalid images
+    # (actic_detr.py:511-515 sums len(labels) over the whole batch before
+    # the world-size allreduce); only matching/assignment is validity-gated
+    num_boxes = jnp.sum(targets["target_valid"]).astype(jnp.float32)
     if axis_name is not None:
         num_boxes = jax.lax.pmean(num_boxes, axis_name)
     num_boxes = jnp.maximum(num_boxes, 1.0)
@@ -449,7 +473,9 @@ def arctic_criterion(
     # cardinality error (logging only, actic_detr.py:418-434): predictions
     # with argmax != 0 vs number of valid targets
     card_pred = jnp.sum(jnp.argmax(st["pred_logits"][-1], -1) != 0, axis=1)
-    tgt_len = jnp.sum(tgt_valid, axis=1)
+    # reference tgt_lengths = len(labels) per image, NOT validity-filtered
+    # (actic_detr.py:434)
+    tgt_len = jnp.sum(targets["target_valid"], axis=1)
     loss_dict["cardinality_error"] = jnp.mean(
         jnp.abs(card_pred.astype(jnp.float32) - tgt_len.astype(jnp.float32))
     )

@@ -83,8 +83,8 @@ def arctic_match_costs(
     pred_obj_key: jnp.ndarray | None,  # (B, Q, 42)
     tgt_labels: jnp.ndarray,  # (B, T) int32
     tgt_keypoints: jnp.ndarray | None,  # (B, T, 42)
-    cost_class: float = 2.0,
-    cost_keypoint: float = 5.0,
+    cost_class: float = 1.5,
+    cost_keypoint: float = 4.0,
     alpha: float = 0.25,
     gamma: float = 2.0,
 ) -> jnp.ndarray:
@@ -117,8 +117,8 @@ def arctic_match(
     tgt_labels,
     tgt_keypoints,
     target_valid,
-    cost_class: float = 2.0,
-    cost_keypoint: float = 5.0,
+    cost_class: float = 1.5,
+    cost_keypoint: float = 4.0,
 ):
     """Batched matching. Returns assign (B, T): query per target or -1."""
     C = arctic_match_costs(

@@ -63,12 +63,14 @@ class StemConv(nn.Module):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (7, 7, 3, 64)).astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
-        if not self.s2d:
+        # the s2d rewrite needs even padded H/W to fold the stride-2 into
+        # channels; odd --img_res (H+6 odd) falls back to the plain conv
+        # (same function either way) instead of failing at trace time
+        if not self.s2d or (x.shape[1] + 6) % 2 or (x.shape[2] + 6) % 2:
             return jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
         xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         b, h, w, c = xp.shape
-        assert h % 2 == 0 and w % 2 == 0, (h, w)
         y = xp.reshape(b, h // 2, 2, w // 2, 2, c)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         kp = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8,8,3,64)

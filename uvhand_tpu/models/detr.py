@@ -93,7 +93,9 @@ class UVHandDETR(nn.Module):
     enc_lite_hi_every: int = 3
     # space-to-depth stem conv rewrite (backbones/resnet.py::StemConv) —
     # same function of the same parameters, MXU-friendly shape; exact up to
-    # conv summation order, so off by default to keep goldens decoder-pinned
+    # conv summation order, so off by default HERE to keep goldens
+    # decoder-pinned. The training CLI and bench intentionally default it ON
+    # (--stem_s2d, cli/main.py) — that ~1 ulp drift is the production point.
     stem_s2d: bool = False
 
     def _posenc(self, mask):
