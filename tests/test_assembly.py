@@ -3,8 +3,10 @@ import jax
 import jax.numpy as jnp
 
 from uvhand_tpu.models.assembly import AssemblyDETR, assembly_criterion
+import pytest
 
 
+@pytest.mark.slow
 def test_assembly_forward_and_loss(rng):
     model = AssemblyDETR(num_classes=12, num_encoder_layers=1, num_decoder_layers=2,
                          d_model=64)

@@ -25,6 +25,7 @@ COMMON = dict(num_queries=12, num_encoder_layers=1, num_decoder_layers=2,
     (dict(two_stage=True, with_box_refine=True, use_dn=True, dn_number=2), True),  # config 4 DINO
     (dict(two_stage=True, with_box_refine=True, compute_dtype=jnp.bfloat16), True),  # bf16
 ])
+@pytest.mark.slow
 def test_variant_trains(cfg, two_stage):
     model = UVHandDETR(**COMMON, **cfg)
     imgs = jnp.zeros((B, 64, 64, 3), jnp.float32)
@@ -227,6 +228,7 @@ def test_stochastic_round_bf16_unbiased_and_exact():
     assert (jnp.float32(a) == jnp.float32(b)).all()
 
 
+@pytest.mark.slow
 def test_bf16_params_sr_train_state():
     """bf16_params=True: params stored bf16, Adam moments f32, a train
     step applies stochastic-rounded updates and stays finite; sub-ulp

@@ -101,6 +101,7 @@ def rng_module():
     return np.random.default_rng(11)
 
 
+@pytest.mark.slow
 def test_tree_matches_model_init_exactly(converted):
     sd, params = converted
     model = UVHandDETR(num_encoder_layers=ENC, num_decoder_layers=DEC)

@@ -10,6 +10,7 @@ from uvhand_tpu.losses.criterion import arctic_criterion
 from uvhand_tpu.geometry import mano, objects
 
 from test_criterion import make_targets
+import pytest
 
 B, T = 2, 3
 
@@ -132,6 +133,7 @@ def test_dn_losses_zero_on_noiseless(rng):
     assert float(ld["loss_ce_dn"]) < 1e-6
 
 
+@pytest.mark.slow
 def test_look_forward_twice_gradient_path():
     """look_forward_twice (deformable_transformer.py:810-817): layer l's
     aux keypoint loss must backprop into layer l-1's refinement head; with

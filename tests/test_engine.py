@@ -31,6 +31,7 @@ def world(tmp_path_factory):
     return ds, model, params, mano_r, mano_l, bank
 
 
+@pytest.mark.slow
 def test_fused_train_and_eval_epoch(world, tmp_path):
     ds, model, params, mano_r, mano_l, bank = world
     state = create_train_state(model, params, lr=1e-4)

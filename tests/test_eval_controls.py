@@ -189,6 +189,7 @@ def test_fast_dev_run_flag():
             args.window_size) == (8, "minitrain", "minival", 3)
 
 
+@pytest.mark.slow
 def test_arctic_cli_train_smoke_bf16_params(root, tmp_path):
     """--bf16_params trains one debug step through the CLI: the model runs
     bf16 compute, params are stored bf16 and updated with stochastic

@@ -41,6 +41,7 @@ def test_window_dataset_shapes(world):
     assert batch["images"].shape == (2 * T, 224, 224, 3)
 
 
+@pytest.mark.slow
 def test_smoothnet_train_step(world):
     wds, model, base_params, mano_r, mano_l, bank = world
     smoother = ArcticSmoother(T)

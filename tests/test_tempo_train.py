@@ -72,6 +72,7 @@ def test_reference_clip_semantics():
     assert list(ind) == [26, 27, 28, 29, 30, 31, 32, 33]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("split_window", [True, False])
 def test_tempo_train_loss_decreases(world, split_window):
     _, ds, model, mano_r, mano_l, bank = world
@@ -103,6 +104,7 @@ def test_tempo_train_loss_decreases(world, split_window):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_select_output_frames_consistency(world):
     """Criterion on gathered center frames == criterion on a center-only
     forward (same frames, no window context in this non-temporal model)."""

@@ -13,6 +13,7 @@ from uvhand_tpu.train import mesh as mesh_lib
 from uvhand_tpu.train.state import create_train_state
 
 from test_criterion import make_targets  # reuse target factory
+import pytest
 
 B = 2
 
@@ -34,6 +35,7 @@ def build_world():
     return mano_r, mano_l, bank, targets
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     mano_r, mano_l, bank, targets = build_world()
     model = tiny_model()
@@ -75,6 +77,7 @@ def test_train_step_sharded_8dev():
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_full_pipeline_loss_decreases():
     """Fixed batch from the DISK-BACKED pipeline (not hand-built targets)
     must train: guards the dataset->process_targets->criterion scales.
