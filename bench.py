@@ -82,8 +82,12 @@ def measure(dtype_name: str, batch, world) -> float:
     # UVHAND_BENCH_S2D=0 opts OUT of the space-to-depth stem (exact-math
     # rewrite of the same stem parameters; default on in the bench)
     s2d = os.environ.get("UVHAND_BENCH_S2D", "1") == "1"
+    # UVHAND_BENCH_BACKBONE=swin benches BASELINE config 2 (arctic_sf +
+    # swin_L_384_22k); default is the R50 flagship
+    backbone = {"swin": "swin_L_384_22k", "convnext": "convnext_xlarge_22k"}.get(
+        os.environ.get("UVHAND_BENCH_BACKBONE", ""), "resnet50")
     model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat,
-                       enc_lite=enc_lite, stem_s2d=s2d)
+                       enc_lite=enc_lite, stem_s2d=s2d, backbone=backbone)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )

@@ -18,6 +18,14 @@ K chained 60-step scans == K*60 training steps on the fixed batch.
 
 Usage: python scripts/ab_enc_lite.py [--chunks 20] [--batch 16]
 Prints one JSON line per variant with the per-chunk mean losses.
+
+`--eval_metrics` (round 4, VERDICT r3 weak #6) upgrades the study from
+loss ratios to METRIC-level evidence: the synthetic roots are generated
+with `render_gt=True` (projected GT drawn into the images, so an
+image->pose mapping exists), each variant trains on `--train_batches`
+distinct batches cycled inside the scan, and both variants are scored on
+a HELD-OUT root (different seed) through the real eval stack
+(engine.make_eval_step: CDev / MPJPE / MRRPE / AAE / success-rate).
 """
 
 from __future__ import annotations
@@ -38,6 +46,10 @@ def main():
                     help="number of 60-step scans per variant")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--scan", type=int, default=60)
+    ap.add_argument("--eval_metrics", action="store_true",
+                    help="rendered-GT roots; train on --train_batches, score"
+                         " a held-out root through the real metric stack")
+    ap.add_argument("--train_batches", type=int, default=4)
     args = ap.parse_args()
 
     from uvhand_tpu.utils.cache import enable_compilation_cache
@@ -60,14 +72,32 @@ def main():
     # obj_bank => GT self-consistent with the bank: bounded camera-solve
     # translations, so the loss is not dominated by ill-conditioned ~1e6
     # camera terms (see make_synthetic_root docstring)
-    arctic.make_synthetic_root(root, num_seqs=2, frames=(args.batch + 1) // 2,
-                               views=1, obj_bank=bank)
+    R = args.train_batches if args.eval_metrics else 1
+    n_frames = args.batch * R
+    arctic.make_synthetic_root(root, num_seqs=2, frames=(n_frames + 1) // 2,
+                               views=1, obj_bank=bank,
+                               render_gt=args.eval_metrics)
     ds = arctic.ArcticDataset(root, "p1", "train",
                               kp3d_cano=np.asarray(bank.kp_bottom))
-    batch = next(iter(loader.DataLoader(ds, args.batch, shuffle=False, seed=0)))
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    it = iter(loader.DataLoader(ds, args.batch, shuffle=False, seed=0))
+    batches = [next(it) for _ in range(R)]
+    # stack the R train batches on a leading axis; the scan cycles them
+    batch = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+             for k in batches[0]}
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
+
+    eval_batches = []
+    if args.eval_metrics:
+        eroot = tempfile.mkdtemp(prefix="uvhand_ab_eval_")
+        arctic.make_synthetic_root(eroot, num_seqs=2,
+                                   frames=(2 * args.batch + 1) // 2, views=1,
+                                   seed=1, obj_bank=bank, render_gt=True)
+        eds = arctic.ArcticDataset(eroot, "p1", "train",
+                                   kp3d_cano=np.asarray(bank.kp_bottom))
+        eit = iter(loader.DataLoader(eds, args.batch, shuffle=False, seed=0))
+        eval_batches = [{k: jnp.asarray(v) for k, v in b.items()}
+                        for b in (next(eit), next(eit))]
 
     results = {}
     for name, enc_lite in (("dense", False), ("enc_lite", True)):
@@ -84,7 +114,8 @@ def main():
 
         def one_step(carry, i):
             st, rng = carry
-            st, ld = step(st, batch, jax.random.fold_in(rng, i))
+            bi = jax.tree.map(lambda x: x[i % x.shape[0]], batch)
+            st, ld = step(st, bi, jax.random.fold_in(rng, i))
             return (st, rng), {k: ld[k] for k in TRACKED if k in ld}
 
         @jax.jit
@@ -120,9 +151,25 @@ def main():
         }
         np.savez(f"/tmp/ab_enc_lite_{name}.npz", **curve)
 
+        if args.eval_metrics:
+            # held-out metric scoring through the REAL eval program
+            eval_step = engine.make_eval_step(model, mano_r, mano_l, bank)
+            rows = {}
+            for eb in eval_batches:
+                for k, v in eval_step(state.params, eb).items():
+                    rows.setdefault(k, []).append(np.asarray(v, np.float64))
+            results[name]["heldout_metrics"] = {
+                k: round(float(np.nanmean(np.concatenate(v))), 3)
+                for k, v in rows.items()}
+            print(f"  {name} held-out: "
+                  + " ".join(f"{k}={v}" for k, v in
+                             results[name]["heldout_metrics"].items()),
+                  flush=True)
+
     d, l = results["dense"], results["enc_lite"]
     summary = {
-        "metric": "ab_enc_lite_memorization",
+        "metric": ("ab_enc_lite_heldout_metrics" if args.eval_metrics
+                   else "ab_enc_lite_memorization"),
         "last60_ratio_lite_over_dense": {
             k: round(l["last60_mean"][k] / max(d["last60_mean"][k], 1e-9), 4)
             for k in d["last60_mean"]
@@ -130,6 +177,9 @@ def main():
         "dense": d,
         "enc_lite": l,
     }
+    if args.eval_metrics:
+        summary["heldout"] = {
+            "dense": d["heldout_metrics"], "enc_lite": l["heldout_metrics"]}
     print(json.dumps(summary))
 
 

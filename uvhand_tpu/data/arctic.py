@@ -540,7 +540,8 @@ def collate_windows(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarra
 
 
 def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: int = 2,
-                        seed: int = 0, image_hw=(600, 840), obj_bank=None) -> None:
+                        seed: int = 0, image_hw=(600, 840), obj_bank=None,
+                        render_gt: bool = False) -> None:
     """Write a miniature ARCTIC-layout dataset for pipeline tests.
 
     With `obj_bank` (a geometry.objects.ObjectBank), the object GT is
@@ -553,6 +554,12 @@ def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: in
     loss terms dominate the criterion at ~1e6 scale — harmless for
     throughput benches, fatal for optimization studies. Use the bank for
     anything that trains more than a few steps on this data.
+
+    With `render_gt=True` the projected 2D GT is DRAWN into each image
+    (per-joint color-coded discs for both hands and the object keypoints),
+    so an image -> pose mapping actually exists and a model trained on one
+    root can be scored on a HELD-OUT root (different seed) through the real
+    metric stack. Default off: the noise-image fixtures stay byte-pinned.
     """
     import cv2
 
@@ -669,13 +676,29 @@ def make_synthetic_root(path: str, num_seqs: int = 2, frames: int = 6, views: in
                 "obj_arti": obj_arti,
             },
         }
+        two_d = data_dict[f"{sid}/{seq_name}"]["2d"]
         for v in range(V):
             for fidx in range(F):
                 name = f"./arctic_data/data/images/{sid}/{seq_name}/{v}/{fidx:05d}.jpg"
                 imgnames.append(name)
                 d = op.join(path, "cropped_images", sid, seq_name, str(v))
                 os.makedirs(d, exist_ok=True)
-                img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
+                if render_gt:
+                    # low-contrast noise floor + per-joint color-coded discs
+                    # at the projected GT (learnable localization signal)
+                    img = (rng.uniform(90, 160, size=(H, W, 3))).astype(np.uint8)
+                    for off, key in ((0, "joints.right"), (64, "joints.left"),
+                                     (128, "kp3d")):
+                        pts = two_d[key][fidx, v]
+                        for j, (x, y) in enumerate(pts):
+                            if not (0 <= x < W and 0 <= y < H):
+                                continue
+                            c = (int((37 * (j + off)) % 256),
+                                 int((91 * (j + off) + 60) % 256),
+                                 int((151 * (j + off) + 120) % 256))
+                            cv2.circle(img, (int(x), int(y)), 4, c, -1)
+                else:
+                    img = (rng.uniform(0, 255, size=(H, W, 3))).astype(np.uint8)
                 cv2.imwrite(op.join(d, f"{fidx:05d}.jpg"), img)
 
     for split in ("train", "val"):

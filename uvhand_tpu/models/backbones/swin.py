@@ -62,6 +62,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -78,19 +79,21 @@ class WindowAttention(nn.Module):
         rpi = relative_position_index(self.window_size)
         bias = rpb_table[rpi.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(B_, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4), 3)
         q, k, v = q[0], k[0], v[0]  # (B_, h, N, hd)
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
-        attn = attn + bias[None]
+        attn = attn + bias[None].astype(attn.dtype)
         if mask is not None:
             nW = mask.shape[0]
             attn = attn.reshape(B_ // nW, nW, h, N, N) + mask[None, :, None]
             attn = attn.reshape(B_, h, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # softmax in f32 for bf16 compute modes (logit range ~[-100, 10])
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
 class SwinBlock(nn.Module):
@@ -100,15 +103,21 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
     def __call__(self, x, H, W, train: bool):
         B, L, C = x.shape
         ws = self.window_size
-        shift = self.shift if min(H, W) > ws else 0
+        # the reference DETECTION swin (models/swin_transformer.py:214-240)
+        # keeps the cyclic shift even when the padded grid is a single
+        # window (stage 3 of 224-input: 7x7 grid, window 7) — unlike the
+        # classification impl, which clamps shift to 0 there. Caught by
+        # tests/test_swin_parity.py (round 4).
+        shift = self.shift
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
 
         # keep the full window size (param shapes stay input-independent,
         # matching torch checkpoints); tiny maps get padded to one window
@@ -125,7 +134,8 @@ class SwinBlock(nn.Module):
             mask = None
 
         wins = window_partition(x, ws)
-        wins = WindowAttention(C, self.num_heads, ws, name="attn")(wins, mask)
+        wins = WindowAttention(C, self.num_heads, ws, dtype=self.dtype,
+                               name="attn")(wins, mask)
         x = window_reverse(wins, ws, Hp, Wp)
 
         if shift > 0:
@@ -147,15 +157,16 @@ class SwinBlock(nn.Module):
             return v * m / keep
 
         x = shortcut + drop_path(x, "dp1")
-        y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(int(C * self.mlp_ratio), name="fc1")(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y)
-        y = nn.Dense(C, name="fc2")(y)
+        y = nn.Dense(C, dtype=self.dtype, name="fc2")(y)
         return x + drop_path(y, "dp2")
 
 
 class PatchMerging(nn.Module):
     dim: int
+    dtype: 'jnp.dtype' = jnp.float32
 
     @nn.compact
     def __call__(self, x, H, W):
@@ -168,8 +179,9 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], -1).reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(name="norm")(x)
-        return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
 
 
 class SwinTransformer(nn.Module):
@@ -179,6 +191,7 @@ class SwinTransformer(nn.Module):
     window_size: int = 12
     out_indices: Sequence[int] = (1, 2, 3)
     drop_path_rate: float = 0.2
+    dtype: 'jnp.dtype' = jnp.float32
 
     @classmethod
     def swin_l_384(cls, **kw):
@@ -193,9 +206,11 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         B, H, W, _ = images.shape
-        x = nn.Conv(self.embed_dim, (4, 4), strides=4, name="patch_embed")(images)
+        x = nn.Conv(self.embed_dim, (4, 4), strides=4, dtype=self.dtype,
+                    name="patch_embed")(images)
         Hc, Wc = x.shape[1], x.shape[2]
-        x = nn.LayerNorm(name="patch_norm")(x.reshape(B, -1, self.embed_dim))
+        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(
+            x.reshape(B, -1, self.embed_dim))
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outs = []
@@ -206,15 +221,15 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(
                     dim, self.num_heads[si], self.window_size,
                     shift=0 if bi % 2 == 0 else self.window_size // 2,
-                    drop_path=float(dpr[blk_id]),
+                    drop_path=float(dpr[blk_id]), dtype=self.dtype,
                     name=f"stage{si}_block{bi}",
                 )(x, Hc, Wc, train)
                 blk_id += 1
             if si in self.out_indices:
-                y = nn.LayerNorm(name=f"out_norm{si}")(x)
+                y = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{si}")(x)
                 outs.append(y.reshape(B, Hc, Wc, dim))
             if si < len(self.depths) - 1:
-                x = PatchMerging(dim, name=f"merge{si}")(x, Hc, Wc)
+                x = PatchMerging(dim, dtype=self.dtype, name=f"merge{si}")(x, Hc, Wc)
                 Hc, Wc = (Hc + 1) // 2, (Wc + 1) // 2
                 dim *= 2
         return tuple(outs)

@@ -117,7 +117,8 @@ class UVHandDETR(nn.Module):
             elif self.backbone == "swin_L_384_22k":
                 from .backbones.swin import SwinTransformer, SWIN_L_CHANNELS
 
-                self.backbone_net = SwinTransformer.swin_l_384(name="backbone")
+                self.backbone_net = SwinTransformer.swin_l_384(
+                    dtype=self.compute_dtype, name="backbone")
                 self.backbone_channels = SWIN_L_CHANNELS
             elif self.backbone == "convnext_xlarge_22k":
                 # DINO's ConvNeXt option (models/dino/backbone.py:206-207)
