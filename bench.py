@@ -86,8 +86,12 @@ def measure(dtype_name: str, batch, world) -> float:
     # swin_L_384_22k); default is the R50 flagship
     backbone = {"swin": "swin_L_384_22k", "convnext": "convnext_xlarge_22k"}.get(
         os.environ.get("UVHAND_BENCH_BACKBONE", ""), "resnet50")
+    # UVHAND_BENCH_ENC_LITE_HI=k: with enc_lite, refresh the full token set
+    # every k-th encoder layer (default 3; 6 = only the final layer)
+    enc_lite_hi = int(os.environ.get("UVHAND_BENCH_ENC_LITE_HI", "3"))
     model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat,
-                       enc_lite=enc_lite, stem_s2d=s2d, backbone=backbone)
+                       enc_lite=enc_lite, enc_lite_hi_every=enc_lite_hi,
+                       stem_s2d=s2d, backbone=backbone)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )
@@ -141,10 +145,13 @@ def measure_infer(dtype_name: str, batch, world) -> float:
     from uvhand_tpu.models.detr import UVHandDETR
 
     mano_r, mano_l, bank = world
+    backbone = {"swin": "swin_L_384_22k", "convnext": "convnext_xlarge_22k"}.get(
+        os.environ.get("UVHAND_BENCH_BACKBONE", ""), "resnet50")
     model = UVHandDETR(
         compute_dtype=jnp.dtype(dtype_name),
         enc_lite=os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1",
-        stem_s2d=os.environ.get("UVHAND_BENCH_S2D", "1") == "1")
+        stem_s2d=os.environ.get("UVHAND_BENCH_S2D", "1") == "1",
+        backbone=backbone)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )

@@ -50,6 +50,8 @@ def main():
                     help="rendered-GT roots; train on --train_batches, score"
                          " a held-out root through the real metric stack")
     ap.add_argument("--train_batches", type=int, default=4)
+    ap.add_argument("--variants", default="dense,lite3",
+                    help="comma list: dense | liteK (K = enc_lite_hi_every)")
     args = ap.parse_args()
 
     from uvhand_tpu.utils.cache import enable_compilation_cache
@@ -100,8 +102,15 @@ def main():
                         for b in (next(eit), next(eit))]
 
     results = {}
-    for name, enc_lite in (("dense", False), ("enc_lite", True)):
-        model = UVHandDETR(compute_dtype=jnp.bfloat16, enc_lite=enc_lite)
+    for name in args.variants.split(","):
+        # "dense" | "liteK" (enc_lite with full-set refresh every K layers)
+        if name == "dense":
+            enc_lite, hi = False, 3
+        else:
+            assert name.startswith("lite"), name
+            enc_lite, hi = True, int(name[4:] or 3)
+        model = UVHandDETR(compute_dtype=jnp.bfloat16, enc_lite=enc_lite,
+                           enc_lite_hi_every=hi)
         params = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0)}, batch["images"][:1])
         state = create_train_state(model, params, lr=2e-4)
@@ -166,20 +175,22 @@ def main():
                              results[name]["heldout_metrics"].items()),
                   flush=True)
 
-    d, l = results["dense"], results["enc_lite"]
+    names = list(results)
+    base = results[names[0]]
     summary = {
         "metric": ("ab_enc_lite_heldout_metrics" if args.eval_metrics
                    else "ab_enc_lite_memorization"),
-        "last60_ratio_lite_over_dense": {
-            k: round(l["last60_mean"][k] / max(d["last60_mean"][k], 1e-9), 4)
-            for k in d["last60_mean"]
-        },
-        "dense": d,
-        "enc_lite": l,
+        "variants": names,
     }
+    for n in names[1:]:
+        summary[f"last60_ratio_{n}_over_{names[0]}"] = {
+            k: round(results[n]["last60_mean"][k]
+                     / max(base["last60_mean"][k], 1e-9), 4)
+            for k in base["last60_mean"]
+        }
+    summary.update(results)
     if args.eval_metrics:
-        summary["heldout"] = {
-            "dense": d["heldout_metrics"], "enc_lite": l["heldout_metrics"]}
+        summary["heldout"] = {n: results[n]["heldout_metrics"] for n in names}
     print(json.dumps(summary))
 
 

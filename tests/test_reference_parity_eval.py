@@ -170,6 +170,75 @@ def test_metric_functions_parity():
                 _cmp_metric(k, my_out[k], ref_out[k])
 
 
+def test_mdev_parity():
+    """eval_motion_deviation (sequence-level stable-contact windows) vs the
+    reference `src/utils/mdev.py` on a crafted 60-frame sequence: runs
+    shorter than window_thres, exactly at it, longer (exercising the
+    reference's triu(window_thres) masking quirk on >15-frame windows),
+    sliding-finger rejection, and invalid frames inside a window.
+
+    Contact runs never touch frame 0 / F-1: the reference's window scan
+    silently drops runs reaching the last frame and wraps a python -1 index
+    on frame-0 runs — border behavior is unspecified, so the A/B stays on
+    the defined interior."""
+    from uvhand_tpu.evaluation import mdev as mymdev
+
+    ref = import_reference_loss()
+    rng = np.random.default_rng(3)
+    F, V, NV = 60, 778, 50
+
+    dist = np.ones((F, V), np.float32)  # no contact by default
+    # vert 10: 20-frame contact run (longer than window_thres=15)
+    dist[5:25, 10] = 1e-3
+    # vert 20: exactly 15 frames
+    dist[30:45, 20] = 1e-3
+    # vert 30: 10 frames (too short -> dropped)
+    dist[40:50, 30] = 1e-3
+    # vert 40: 16 frames but slides across the object (far-apart verts)
+    dist[10:26, 40] = 1e-3
+    idx = rng.integers(0, 3, (F, V))  # nearby object verts (no slide)
+    idx[10:26, 40] = np.arange(16) % NV  # vert 40 slides
+    dist_lo = np.ones((F, V), np.float32)
+    dist_lo[20:40, 5] = 1e-3
+    idx_lo = rng.integers(0, 3, (F, V))
+
+    vo = np.zeros((F, NV, 3), np.float32)
+    vo[:] = rng.normal(size=(NV, 3)).astype(np.float32) * 0.5  # static
+    vo[:, :3] += 100.0  # verts 0-2 clustered far away but NEAR each other?
+    vo[:, 0] = vo[:, 1] + 1e-4  # ensure verts 0..2 are within 3mm
+    vo[:, 2] = vo[:, 1] - 1e-4
+
+    rv = np.ones(F, np.float32)
+    rv[18] = 0.0  # an invalid frame inside vert-10's window
+    lv = np.ones(F, np.float32)
+    iv = np.ones(F, np.float32)
+
+    vh_r = rng.normal(size=(F, V, 3)).astype(np.float32) * 0.01
+    vh_l = rng.normal(size=(F, V, 3)).astype(np.float32) * 0.01
+    v_o = vo + rng.normal(size=(F, NV, 3)).astype(np.float32) * 0.005
+
+    tg_t = {"is_valid": _t(iv), "right_valid": _t(rv), "left_valid": _t(lv),
+            "dist.ro": _t(dist), "idx.ro": torch.from_numpy(idx).long(),
+            "dist.lo": _t(dist_lo), "idx.lo": torch.from_numpy(idx_lo).long(),
+            "object.v.cam": _t(vo)}
+    pr_t = {"mano.v3d.cam.r": _t(vh_r), "mano.v3d.cam.l": _t(vh_l),
+            "object.v.cam": _t(v_o)}
+    with torch.no_grad(), torch_cuda_as_cpu():
+        ref_out = ref.eval_modules.eval_motion_deviation(pr_t, tg_t, {})
+
+    tg = {"is_valid": iv, "right_valid": rv, "left_valid": lv,
+          "dist.ro": dist, "idx.ro": idx, "dist.lo": dist_lo,
+          "idx.lo": idx_lo, "object.v.cam": vo}
+    pr = {"mano.v3d.cam.r": vh_r, "mano.v3d.cam.l": vh_l, "object.v.cam": v_o}
+    mine = mymdev.eval_motion_deviation(pr, tg)
+
+    r = np.sort(np.asarray(ref_out["mdev/h"]).reshape(-1))
+    o = np.sort(np.asarray(mine["mdev/h"]).reshape(-1))
+    assert o.shape == r.shape, (o.shape, r.shape)
+    np.testing.assert_allclose(o, r, atol=1e-4)
+    assert len(o) >= 2  # the crafted windows actually exist
+
+
 @pytest.mark.slow
 def test_eval_pipeline_end_to_end():
     """engine.make_eval_step (jitted fwd + decode + metrics) vs the

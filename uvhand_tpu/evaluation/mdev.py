@@ -41,7 +41,13 @@ def find_windows(dist, dist_idx, vo, contact_thres=3e-3, window_thres=15):
             j_list = dist_idx[s : e + 1, vidx]
             vj = vo[j_list]
             d = np.linalg.norm(vj[:, None] - vj[None], axis=-1)
-            iu = np.triu_indices(len(j_list))
+            # the reference nans only the top-left (window_thres,
+            # window_thres) triangle regardless of window length
+            # (mdev.py:73-76 passes window_thres to triu_indices, not
+            # len(window)); windows longer than window_thres keep their
+            # remaining upper-triangle duplicates + diagonal zeros in the
+            # mean. Replicated exactly for metric parity.
+            iu = np.triu_indices(window_thres)
             d[iu] = np.nan
             if np.nanmean(d) > contact_thres:
                 continue  # finger slid along the surface
