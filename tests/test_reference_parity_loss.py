@@ -290,6 +290,84 @@ def test_small_loss_parity_all_left_invalid():
     assert float(np.asarray(ld_ours["loss/mano/kp2d/l"])) == 0.0
 
 
+def test_penetration_loss_parity():
+    """compute_penetration_loss (loss_modules.py:80-160) vs
+    losses/penetration.py on a posed MANO mesh with object vertices
+    straddling the surface; mixed hand validity. The reference side runs
+    its real code with the exact-knn and pytorch3d-normal-semantics
+    stand-ins from reference_stubs."""
+    import jax.numpy as jnp
+
+    from uvhand_tpu.losses import penetration as mypen
+
+    ref = import_reference_loss()
+    rng = np.random.default_rng(9)
+
+    # closed UV-sphere "hand" meshes with outward faces (synthetic_mano's
+    # placeholder faces are degenerate; interior-ness needs real normals)
+    def sphere(nu=14, nv=55):  # 770 verts + 8 far-away pads = 778
+        # (the reference hardcodes .view(-1, 778, 3), loss_modules.py:143)
+        th = np.linspace(0.15, np.pi - 0.15, nu)
+        ph = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        v = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                      np.cos(T)], -1).reshape(-1, 3)
+        f = []
+        for i in range(nu - 1):
+            for j in range(nv):
+                a = i * nv + j
+                b = i * nv + (j + 1) % nv
+                c = (i + 1) * nv + j
+                d = (i + 1) * nv + (j + 1) % nv
+                f += [[a, b, c], [b, d, c]]
+        pad = np.full((778 - len(v), 3), 1e3, np.float32)  # never nearest
+        return np.concatenate([v.astype(np.float32), pad]), np.asarray(f, np.int64)
+
+    sv, faces_np = sphere()
+    centers = rng.normal(scale=0.3, size=(B, 1, 3)).astype(np.float32)
+    radii = (0.08 + 0.04 * rng.random((B, 1, 1))).astype(np.float32)
+    vr = jnp.asarray(sv[None] * radii + centers)
+    vl = jnp.asarray(sv[None] * radii * 1.2 + centers + 0.05)
+    # object verts straddling the sphere surfaces: mixed interior/exterior
+    Vo = 200
+    dirs = rng.normal(size=(B, Vo, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rads = (np.asarray(radii) * (0.5 + rng.random((B, Vo, 1)))).astype(np.float32)
+    vo = jnp.asarray(centers + dirs * rads)
+
+    faces_r = faces_np
+    faces_l = faces_np
+    is_valid = np.array([1, 1, 1, 0], np.float32)
+    rv = np.array([1, 0, 1, 1], np.float32)
+    lv = np.array([1, 1, 0, 1], np.float32)
+
+    # reference: nn_dist/idx from its get_NN (exact brute-force knn stub)
+    with torch.no_grad(), torch_cuda_as_cpu():
+        nn_dist_r, nn_idx_r = ref.loss_modules.get_NN(_t(vo), _t(vr))
+        nn_dist_l, nn_idx_l = ref.loss_modules.get_NN(_t(vo), _t(vl))
+        pred_t = {"object.v.cam": _t(vo), "mano.v3d.cam.r": _t(vr),
+                  "mano.v3d.cam.l": _t(vl),
+                  "nn_dist_r": nn_dist_r, "nn_idx_r": nn_idx_r,
+                  "nn_dist_l": nn_dist_l, "nn_idx_l": nn_idx_l}
+        gt_t = {"is_valid": _t(is_valid), "right_valid": _t(rv),
+                "left_valid": _t(lv)}
+        meta = {"mano.faces.r": faces_r, "mano.faces.l": faces_l}
+        pl_or, pl_ol = ref.loss_modules.compute_penetration_loss(
+            pred_t, gt_t, meta)
+
+    ones_mask = jnp.ones((B, Vo))
+    my_or = mypen.penetration_loss(
+        jnp.asarray(faces_r, jnp.int32), vr, vo, ones_mask,
+        jnp.asarray(is_valid), jnp.asarray(rv))
+    my_ol = mypen.penetration_loss(
+        jnp.asarray(faces_l, jnp.int32), vl, vo, ones_mask,
+        jnp.asarray(is_valid), jnp.asarray(lv))
+    for name, mine, refv in (("pl_or", my_or, pl_or), ("pl_ol", my_ol, pl_ol)):
+        o, r = float(mine), float(refv)
+        assert r > 0, (name, r)  # the scene actually has penetration
+        assert abs(o - r) <= 1e-4 * max(1.0, abs(r)), (name, o, r)
+
+
 def _random_stacked(rng):
     import jax.numpy as jnp
 
