@@ -75,7 +75,7 @@ def test_dino_model_forward_and_criterion(rng):
 
     total, ld = arctic_criterion(out, targets, mano_r, mano_l, bank)
     assert np.isfinite(float(total))
-    assert "loss_ce_dn" in ld and "loss_key_dn" in ld
+    assert "loss_ce_dn" in ld and "loss_hand_keypoint_dn" in ld
 
     # eval mode: no dn
     out_eval = model.apply(params, imgs, train=False)
@@ -94,7 +94,8 @@ def test_dn_losses_mask_invalid(rng):
     # perfect keys for positives
     hand = jnp.tile(dn["dn_keys_gt"][None], (2, 1, 1, 1))
     ld = dn_losses(logits, hand, hand, dn, jnp.asarray(1.0))
-    assert float(ld["loss_key_dn"]) < 1e-6
+    assert float(ld["loss_hand_keypoint_dn"]) < 1e-6
+    assert float(ld["loss_obj_keypoint_dn"]) < 1e-6
 
 
 def test_dn_group_sizing_matches_reference():
@@ -129,7 +130,8 @@ def test_dn_losses_zero_on_noiseless(rng):
     logits = jnp.asarray(np.tile(logits[None], (1, 1, 1, 1)), jnp.float32)
     hand = jnp.asarray(dn["dn_keys_gt"])[None]
     ld = dn_losses(logits, hand, hand, dn, jnp.asarray(1.0))
-    assert float(ld["loss_key_dn"]) < 1e-6
+    assert float(ld["loss_hand_keypoint_dn"]) < 1e-6
+    assert float(ld["loss_obj_keypoint_dn"]) < 1e-6
     assert float(ld["loss_ce_dn"]) < 1e-6
 
 
@@ -220,7 +222,7 @@ def test_fused_train_step_feeds_dn(tmp_path):
     state = create_train_state(model, params, lr=1e-3)
     step = engine.make_fused_train_step(model, mano_r, mano_l, bank)
     new_state, ld = step(state, batch, jax.random.PRNGKey(7))
-    assert "loss_ce_dn" in ld and "loss_key_dn" in ld
+    assert "loss_ce_dn" in ld and "loss_hand_keypoint_dn" in ld
     assert np.isfinite(float(ld["total"]))
     before = np.asarray(state.params["label_enc"]["embedding"])
     after = np.asarray(new_state.params["label_enc"]["embedding"])

@@ -290,6 +290,73 @@ def test_small_loss_parity_all_left_invalid():
     assert float(np.asarray(ld_ours["loss/mano/kp2d/l"])) == 0.0
 
 
+def test_dn_loss_parity():
+    """CDN denoising losses vs the reference DINO SetCriterion's dn block
+    (dino.py:617-676): identical dn predictions + GT through our
+    models/dn.py::dn_losses and through the reference's loss_labels /
+    loss_boxes with its dn_pos_idx construction and num_boxes*scalar
+    normalization. The A/B caught two real drifts at authoring time (CE
+    missing the /scalar divisor; hand+obj keypoint losses pooled with a
+    shared denominator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reference_stubs import import_reference_dino
+    from uvhand_tpu.models.dn import CdnConfig, dn_losses, prepare_cdn
+
+    dino_mod, _ = import_reference_dino()
+    rng = np.random.default_rng(31)
+    Bd, Ld = 3, 2
+    cfg = CdnConfig(dn_number=100)  # groups=33, pad=198 (flagship config)
+    G, P = cfg.groups, cfg.pad_size
+
+    labels = jnp.asarray(
+        np.stack([[12, 13, int(1 + rng.integers(0, 11))] for _ in range(Bd)]),
+        jnp.int32)
+    keypoints = jnp.asarray(rng.uniform(0, 1, (Bd, T, 42)), jnp.float32)
+    tv = jnp.ones((Bd, T), bool)
+    dn = prepare_cdn(jax.random.PRNGKey(0), labels, keypoints, tv, C, cfg)
+
+    logits = jnp.asarray(rng.normal(scale=2.0, size=(Ld, Bd, P, C)), jnp.float32)
+    hkey = jnp.asarray(rng.normal(scale=0.5, size=(Ld, Bd, P, 42)), jnp.float32)
+    okey = jnp.asarray(rng.normal(scale=0.5, size=(Ld, Bd, P, 42)), jnp.float32)
+    num_boxes = float(Bd * T)
+
+    mine = dn_losses(logits, hkey, okey, dn, jnp.asarray(num_boxes))
+
+    crit = dino_mod.SetCriterion(
+        num_classes=C, matcher=None, weight_dict={}, focal_alpha=0.25,
+        losses=["labels", "boxes"], cfg=None, pre_process_models=None)
+    targets = {
+        "labels": [list(map(int, row)) for row in np.asarray(labels)],
+        "keypoints": [_t(k) for k in np.asarray(keypoints)],
+        "is_valid": _t(np.ones(Bd)),
+    }
+    # dn_pos_idx exactly as dino.py:621-632 (single_pad = pad//groups = 2T)
+    single_pad = P // G
+    dn_pos_idx = []
+    for _ in range(Bd):
+        t = torch.arange(T).long().unsqueeze(0).repeat(G, 1)
+        out_idx = (torch.arange(G) * single_pad).long().unsqueeze(1) + t
+        dn_pos_idx.append((out_idx.flatten(), t.flatten()))
+
+    with torch.no_grad(), torch_cuda_as_cpu():
+        for l in range(Ld):
+            out_dn = {"pred_logits": _t(logits[l]),
+                      "pred_hand_key": _t(hkey[l]),
+                      "pred_obj_key": _t(okey[l])}
+            ld_ref = {}
+            ld_ref.update(crit.get_loss("labels", out_dn, targets, dn_pos_idx,
+                                        num_boxes * G, log=False))
+            ld_ref.update(crit.get_loss("boxes", out_dn, targets, dn_pos_idx,
+                                        num_boxes * G))
+            sfx = "_dn" if l == Ld - 1 else f"_dn_{l}"
+            _cmp_terms(
+                {k + sfx: v for k, v in ld_ref.items()}, mine,
+                [f"loss_ce{sfx}", f"loss_hand_keypoint{sfx}",
+                 f"loss_obj_keypoint{sfx}"], ctx=f"dn layer{l} ")
+
+
 def test_penetration_loss_parity():
     """compute_penetration_loss (loss_modules.py:80-160) vs
     losses/penetration.py on a posed MANO mesh with object vertices

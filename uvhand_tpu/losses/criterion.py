@@ -453,7 +453,7 @@ def arctic_criterion(
         )
         for k, v in dl.items():
             loss_dict[k] = v
-            base = "loss_ce" if k.startswith("loss_ce") else "loss_hand_keypoint"
+            base = k.split("_dn")[0]  # loss_ce / loss_hand_keypoint / loss_obj_keypoint
             total = total + weights.get(base, 0.0) * v
 
     if two_stage and "interm_outputs" in outputs and outputs["interm_outputs"] is not None:

@@ -120,8 +120,20 @@ def dn_losses(
 
     Positives regress to their GT keys and classify as their GT label;
     negatives classify as no-object. Invalid slots masked.
+
+    EXACT reference normalization (round-4 dn-loss A/B,
+    tests/test_reference_parity_loss.py::test_dn_loss_parity):
+      - the dn focal CE divides by num_boxes * GROUPS (the criterion passes
+        `num_boxes*scalar` to loss_labels, dino.py:660) then multiplies by
+        the dn pad width;
+      - hand/obj dn keypoint L1 are SEPARATE losses with separate matched
+        counts (loss_boxes semantics), named loss_hand_keypoint_dn /
+        loss_obj_keypoint_dn so the reference weight table applies.
+    The previous version divided CE by num_boxes only and pooled hand+obj
+    into one loss_key_dn — both real drifts from the reference.
     """
     L, B, P, C = dn_logits.shape
+    groups = P // 6  # pad = groups * 2 * T_SLOTS
     valid = dn["dn_valid"]
     neg = dn["dn_is_negative"]
     pos = valid & ~neg
@@ -138,18 +150,21 @@ def dn_losses(
         loss = ce * (1 - p_t) ** 2
         a_t = focal_alpha * onehot + (1 - focal_alpha) * (1 - onehot)
         loss = (a_t * loss) * valid[..., None]
-        l_ce = loss.mean(1).sum() / num_boxes * P
+        l_ce = loss.mean(1).sum() / (num_boxes * groups) * P
 
-        src = jnp.where(is_hand[..., None], hkey, okey)
-        l1 = jnp.abs(src - dn["dn_keys_gt"]).sum(-1) * pos
-        n_pos = jnp.maximum(jnp.sum(pos), 1)
-        l_key = jnp.sum(l1) / n_pos / 21.0
-        return l_ce, l_key
+        pos_hand = pos & is_hand
+        pos_obj = pos & ~is_hand
+        l1_hand = jnp.abs(hkey - dn["dn_keys_gt"]).sum(-1) * pos_hand
+        l1_obj = jnp.abs(okey - dn["dn_keys_gt"]).sum(-1) * pos_obj
+        l_hand = jnp.sum(l1_hand) / jnp.maximum(jnp.sum(pos_hand), 1) / 21.0
+        l_obj = jnp.sum(l1_obj) / jnp.maximum(jnp.sum(pos_obj), 1) / 21.0
+        return l_ce, l_hand, l_obj
 
-    ce, key = jax.vmap(per_layer)(dn_logits, dn_hand_key, dn_obj_key)
+    ce, hand, obj = jax.vmap(per_layer)(dn_logits, dn_hand_key, dn_obj_key)
     out = {}
     for l in range(L):
         sfx = "_dn" if l == L - 1 else f"_dn_{l}"
         out[f"loss_ce{sfx}"] = ce[l]
-        out[f"loss_key{sfx}"] = key[l]
+        out[f"loss_hand_keypoint{sfx}"] = hand[l]
+        out[f"loss_obj_keypoint{sfx}"] = obj[l]
     return out
