@@ -112,7 +112,7 @@ def main():
         model = UVHandDETR(compute_dtype=jnp.bfloat16, enc_lite=enc_lite,
                            enc_lite_hi_every=hi)
         params = jax.jit(model.init)(
-            {"params": jax.random.PRNGKey(0)}, batch["images"][:1])
+            {"params": jax.random.PRNGKey(0)}, batch["images"][0, :1])
         state = create_train_state(model, params, lr=2e-4)
         step = engine.make_fused_train_step(model, mano_r, mano_l, bank,
                                             jit=False)
