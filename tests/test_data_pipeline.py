@@ -89,3 +89,37 @@ def test_mini_split_downsample(root, world):
     assert arctic.downsample(names, "train") == names
     mini = arctic.ArcticDataset(root, "p1", "minitrain", kp3d_cano=kp3d_cano)
     assert len(mini) <= len(full)
+
+
+def test_render_gt_root_draws_learnable_signal(tmp_path):
+    """make_synthetic_root(render_gt=True): the projected GT is drawn into
+    the images (so image->pose is learnable for held-out studies) and the
+    crop pipeline keeps image and 2D GT consistent; default stays noise."""
+    import numpy as np
+    from uvhand_tpu.data import arctic, loader
+    from uvhand_tpu.geometry import objects
+
+    bank = objects.synthetic_object_bank(2)
+    r1, r2 = str(tmp_path / "gt"), str(tmp_path / "noise")
+    arctic.make_synthetic_root(r1, num_seqs=1, frames=4, views=1,
+                               obj_bank=bank, render_gt=True)
+    arctic.make_synthetic_root(r2, num_seqs=1, frames=4, views=1,
+                               obj_bank=bank)
+    kp = np.asarray(bank.kp_bottom)
+    b1 = next(iter(loader.DataLoader(
+        arctic.ArcticDataset(r1, "p1", "train", kp3d_cano=kp), 4,
+        shuffle=False, seed=0)))
+    b2 = next(iter(loader.DataLoader(
+        arctic.ArcticDataset(r2, "p1", "train", kp3d_cano=kp), 4,
+        shuffle=False, seed=0)))
+    # rendered images use a narrower U(90,160) noise floor + discs: lower
+    # std than pure U(0,255) noise (post-normalization the gap compresses),
+    # and they are deterministic for a fixed seed
+    s1 = np.asarray(b1["images"]).std()
+    s2 = np.asarray(b2["images"]).std()
+    assert s1 < s2, (s1, s2)
+    b1b = next(iter(loader.DataLoader(
+        arctic.ArcticDataset(r1, "p1", "train", kp3d_cano=kp), 4,
+        shuffle=False, seed=0)))
+    np.testing.assert_array_equal(np.asarray(b1["images"]),
+                                  np.asarray(b1b["images"]))
