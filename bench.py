@@ -70,10 +70,11 @@ def measure(dtype_name: str, batch, world) -> float:
     from uvhand_tpu.train.state import create_train_state
 
     mano_r, mano_l, bank = world
+    frames = int(batch["images"].shape[0])  # == BATCH, or windows*T in tempo mode
     # layer remat auto-selected when the activation footprint would exceed
     # HBM (B=32 dies with a device error without it; PERF.md round 3)
     remat = os.environ.get("UVHAND_BENCH_REMAT", "")
-    remat = (BATCH >= 24) if remat == "" else remat == "1"
+    remat = (frames >= 24) if remat == "" else remat == "1"
     # opt-in A/B knobs (semantic changes; kept out of the headline modes):
     # UVHAND_BENCH_SR=1 -> bf16 params + stochastic-rounded updates
     # UVHAND_BENCH_ENC_LITE=1 -> Lite-DETR interleaved encoder
@@ -128,7 +129,7 @@ def measure(dtype_name: str, batch, world) -> float:
         with jax.profiler.trace(os.path.join(prof, dtype_name)):
             state, totals = run_k(state, rng)
             jax.block_until_ready(totals)
-    return BATCH * SCAN_STEPS / dt
+    return frames * SCAN_STEPS / dt
 
 
 def measure_infer(dtype_name: str, batch, world) -> float:
@@ -211,11 +212,31 @@ def main():
     # real-data scale instead of ill-conditioned ~1e6 camera terms
     root = tempfile.mkdtemp(prefix="uvhand_bench_")
     bank = objects.synthetic_object_bank(2)
-    arctic.make_synthetic_root(root, num_seqs=2, frames=(BATCH + 1) // 2, views=1,
-                               obj_bank=bank)
-    ds = arctic.ArcticDataset(root, "p1", "train",
-                              kp3d_cano=np.asarray(bank.kp_bottom))
-    batch = next(iter(loader.DataLoader(ds, BATCH, shuffle=False, seed=0)))
+    # UVHAND_BENCH_WINDOW=T: BASELINE config-3 style temporal training —
+    # per-frame-centered windows flattened to windows*T frames, per-frame
+    # targets (UVHAND_BENCH_SPLIT=0 -> center-frame targets only). fps
+    # counts every supervised window frame.
+    window = int(os.environ.get("UVHAND_BENCH_WINDOW", "0"))
+    if window:
+        from functools import partial
+
+        n_frames = max(window + 22, BATCH + 1)
+        arctic.make_synthetic_root(root, num_seqs=1, frames=n_frames, views=1,
+                                   obj_bank=bank)
+        ds = arctic.ArcticDataset(root, "p1", "train",
+                                  kp3d_cano=np.asarray(bank.kp_bottom))
+        split = os.environ.get("UVHAND_BENCH_SPLIT", "1") == "1"
+        tds = arctic.TempoTrainDataset(ds, window, split_window=split)
+        dl = loader.DataLoader(
+            tds, max(BATCH // window, 1), shuffle=False, seed=0,
+            collate_fn=partial(arctic.collate_tempo_train, split_window=split))
+        batch = next(iter(dl))
+    else:
+        arctic.make_synthetic_root(root, num_seqs=2, frames=(BATCH + 1) // 2,
+                                   views=1, obj_bank=bank)
+        ds = arctic.ArcticDataset(root, "p1", "train",
+                                  kp3d_cano=np.asarray(bank.kp_bottom))
+        batch = next(iter(loader.DataLoader(ds, BATCH, shuffle=False, seed=0)))
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     world = (mano.synthetic_mano(0, True), mano.synthetic_mano(1, False), bank)
 
