@@ -41,6 +41,9 @@ def build_world(args):
     from __graft_entry__ import _flagship, _tiny_targets
 
     model, (H, W) = _flagship(tiny=args.tiny)
+    if getattr(args, "backbone", "resnet50") != "resnet50":
+        # AOT-validate alternate-backbone flagships (e.g. swin_L_384_22k)
+        model = model.clone(backbone=args.backbone)
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
     bank = objects.synthetic_object_bank(2)
@@ -145,6 +148,9 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--phase", default="ab", choices=["a", "b", "ab"])
+    ap.add_argument("--backbone", default="resnet50",
+                    choices=["resnet50", "swin_L_384_22k",
+                             "convnext_xlarge_22k"])
     args = ap.parse_args()
 
     os.environ.setdefault("UVHAND_MSDA_IMPL", "xla")  # phase A
