@@ -82,8 +82,13 @@ def phase_a(args, topo):
     step = engine.make_fused_train_step(model, *world, preprocess=False,
                                         jit=False)
 
-    state_in = with_sharding(state_shape,
-                             lambda x: mesh_lib.param_sharding(mesh, x))
+    import jax.tree_util as jtu
+
+    state_in = jtu.tree_map_with_path(
+        lambda p, x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=mesh_lib.param_sharding_for_path(mesh, p, x)),
+        state_shape)
     bsh = mesh_lib.batch_sharding(mesh)
     batch = with_sharding(batch_shape, lambda x: bsh)
     rng = jax.ShapeDtypeStruct((2,), jnp.uint32,

@@ -72,14 +72,29 @@ def param_sharding(mesh: Mesh, x, min_size: int = MP_MIN_SIZE) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_sharding_for_path(mesh: Mesh, path, x,
+                            min_size: int = MP_MIN_SIZE) -> NamedSharding:
+    """Path-aware rule: backbone kernels stay REPLICATED regardless of
+    shape. (a) That matches the reference's DDP layout (its backbone is
+    never tensor-parallel), and (b) mp-sharding swin's window-attention
+    GEMMs trips an XLA:TPU SPMD RET_CHECK (the all-reduce->reduce-scatter
+    rewrite mis-handles the pad-to-window slice consumers; seen on the
+    2026-08 toolchain via scripts/aot_multichip.py --backbone
+    swin_L_384_22k --mp 2). The R50 flagship is unaffected either way
+    (its convs are 4-D, outside the 2-D-kernel rule)."""
+    if any(getattr(p, "key", None) == "backbone" for p in path):
+        return replicated(mesh)
+    return param_sharding(mesh, x, min_size)
+
+
 def shard_params(mesh: Mesh, tree, min_size: int = MP_MIN_SIZE):
     """device_put every array leaf of a param/state pytree per the rule."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, param_sharding(mesh, x, min_size))
-        if hasattr(x, "ndim")
-        else x,
-        tree,
-    )
+    def leaf(path, x):
+        if not hasattr(x, "ndim"):
+            return x
+        return jax.device_put(x, param_sharding_for_path(mesh, path, x, min_size))
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
 
 
 # optimizer state shards exactly like its params (the rule is shape-driven)
