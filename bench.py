@@ -90,9 +90,15 @@ def measure(dtype_name: str, batch, world) -> float:
     # UVHAND_BENCH_ENC_LITE_HI=k: with enc_lite, refresh the full token set
     # every k-th encoder layer (default 3; 6 = only the final layer)
     enc_lite_hi = int(os.environ.get("UVHAND_BENCH_ENC_LITE_HI", "3"))
+    # UVHAND_BENCH_MODEL=dino benches the DINO variant (CDN denoising
+    # queries fed every step by the fused train step, look-forward-twice;
+    # decoder runs 300 matching + 198 dn queries)
+    dino = os.environ.get("UVHAND_BENCH_MODEL", "") == "dino"
     model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat,
                        enc_lite=enc_lite, enc_lite_hi_every=enc_lite_hi,
-                       stem_s2d=s2d, backbone=backbone)
+                       stem_s2d=s2d, backbone=backbone,
+                       dino_variant=dino, use_dn=dino,
+                       look_forward_twice=dino)
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
     )

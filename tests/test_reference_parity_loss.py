@@ -357,6 +357,62 @@ def test_dn_loss_parity():
                  f"loss_obj_keypoint{sfx}"], ctx=f"dn layer{l} ")
 
 
+def test_cdn_query_layout_parity():
+    """CDN query construction vs the reference prepare_for_cdn
+    (dn_components.py:20-150) at zero noise (deterministic): the per-image
+    [g0 pos T | g0 neg T | g1 pos T | ...] slot layout of the denoising
+    keypoint queries, the group count / pad size arithmetic, the label ids
+    routed to label_enc, and the (dn+matching, dn+matching) attention mask
+    must all match — a silent layout mismatch would corrupt dn training
+    without failing any loss test."""
+    import jax
+    import jax.numpy as jnp
+
+    from reference_stubs import import_reference_dino
+    from uvhand_tpu.models.dn import CdnConfig, cdn_attn_mask, prepare_cdn
+    from uvhand_tpu.models.transformer import inverse_sigmoid
+
+    import_reference_dino()
+    import importlib
+
+    dnc = importlib.import_module("models.dino.dn_components")
+
+    rng = np.random.default_rng(41)
+    Bd, Q = 2, 20
+    cfg = CdnConfig(dn_number=100, label_noise_ratio=0.0, box_noise_scale=0.0)
+    G, P = cfg.groups, cfg.pad_size
+
+    labels = np.stack([[12, 13, 3], [12, 13, 7]]).astype(np.int64)
+    keys = rng.uniform(0.05, 0.95, (Bd, T, 42)).astype(np.float32)
+
+    hidden = 8
+    label_enc = torch.nn.Embedding(C + 1, hidden)
+    targets = {"labels": [list(map(int, r)) for r in labels],
+               "keypoints": [torch.from_numpy(k) for k in keys]}
+    with torch.no_grad(), torch_cuda_as_cpu():
+        in_lbl, in_key, attn_mask, dn_meta = dnc.prepare_for_cdn(
+            (targets, cfg.dn_number, 0.0, 0.0), True, Q, C, hidden, label_enc)
+
+    assert dn_meta["pad_size"] == P and dn_meta["num_dn_group"] == G
+
+    dn = prepare_cdn(jax.random.PRNGKey(0),
+                     jnp.asarray(labels, jnp.int32), jnp.asarray(keys),
+                     jnp.ones((Bd, T), bool), C, cfg)
+    # keypoint queries: identical inverse-sigmoid values in identical slots
+    np.testing.assert_allclose(
+        np.asarray(dn["dn_keys_unact"]), in_key.numpy(), atol=2e-5)
+    # label queries: the reference scatters label_enc(label); recover the
+    # label id per slot by matching embedding rows
+    emb = label_enc.weight.detach().numpy()
+    ref_ids = np.argmin(
+        np.linalg.norm(in_lbl.numpy()[:, :, None, :] - emb[None, None], axis=-1),
+        axis=-1)
+    np.testing.assert_array_equal(np.asarray(dn["dn_labels_noised"]), ref_ids)
+    # attention mask (True = blocked), incl. the matching-query block
+    np.testing.assert_array_equal(
+        np.asarray(cdn_attn_mask(Q, cfg)), attn_mask.numpy())
+
+
 def test_penetration_loss_parity():
     """compute_penetration_loss (loss_modules.py:80-160) vs
     losses/penetration.py on a posed MANO mesh with object vertices
