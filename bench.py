@@ -99,8 +99,8 @@ def measure(dtype_name: str, batch, world) -> float:
                        stem_s2d=s2d, backbone=backbone,
                        dino_variant=dino, use_dn=dino,
                        look_forward_twice=dino)
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)}, batch["images"][:1]
+    params = jax.jit(lambda r, im: engine.init_params(model, r, im))(
+        jax.random.PRNGKey(0), batch["images"][:1]
     )
     state = create_train_state(model, params, lr=2e-4, bf16_params=sr)
     step = engine.make_fused_train_step(model, mano_r, mano_l, bank, jit=False)

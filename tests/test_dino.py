@@ -227,3 +227,30 @@ def test_fused_train_step_feeds_dn(tmp_path):
     before = np.asarray(state.params["label_enc"]["embedding"])
     after = np.asarray(new_state.params["label_enc"]["embedding"])
     assert np.abs(after - before).max() > 0, "label_enc got no gradient"
+
+
+def test_init_params_materializes_label_enc():
+    """CLI-style init of a dn model must create label_enc (the eval-style
+    init skips it and the first dn train step then dies with
+    ScopeParamNotFoundError — caught by the round-4 dino bench)."""
+    from uvhand_tpu import engine
+
+    model = UVHandDETR(
+        num_queries=12, num_encoder_layers=1, num_decoder_layers=1,
+        d_model=64, dim_feedforward=64, n_heads=4, dropout=0.0,
+        feature_mask_ratio=0.0, use_dn=True, dn_number=2,
+    )
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = engine.init_params(model, jax.random.PRNGKey(0), imgs)
+    assert "label_enc" in params["params"], sorted(params["params"])
+
+    plain = UVHandDETR(
+        num_queries=12, num_encoder_layers=1, num_decoder_layers=1,
+        d_model=64, dim_feedforward=64, n_heads=4, dropout=0.0,
+        feature_mask_ratio=0.0,
+    )
+    p2 = engine.init_params(plain, jax.random.PRNGKey(0), imgs)
+    # non-dn init path is byte-identical to the eval-style init
+    p_ref = plain.init({"params": jax.random.PRNGKey(0)}, imgs)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool((a == b).all()), p2, p_ref))

@@ -365,7 +365,7 @@ def main(args):
                         workers_mode=args.workers_mode)
 
     imgs = jnp.zeros((1, args.img_res, args.img_res, 3), jnp.float32)
-    params = jax.jit(model.init)({"params": rng}, imgs)
+    params = jax.jit(lambda r, im: engine.init_params(model, r, im))(rng, imgs)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model params: {n_params/1e6:.1f}M")
 

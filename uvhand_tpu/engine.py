@@ -53,6 +53,29 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
+def init_params(model, rng, images):
+    """model.init that also materializes dn-only params.
+
+    A dn model initialized eval-style never calls `label_enc`, so the
+    param is absent and the first dn train step dies with
+    ScopeParamNotFoundError (caught by the round-4 dino bench). For dn
+    models, init runs train=True with placeholder dn targets; non-dn
+    models keep the plain eval-style init (identical param draws)."""
+    if not getattr(model, "use_dn", False):
+        return model.init({"params": rng}, images)
+    B = images.shape[0]
+    labels = jnp.tile(jnp.asarray([[12, 13, 3]], jnp.int32), (B, 1))
+    dn_targets = {
+        "labels": labels,
+        "keypoints": jnp.zeros((B, 3, 42), jnp.float32),
+        "target_valid": jnp.ones((B, 3), bool),
+    }
+    rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+            "dn": jax.random.fold_in(rng, 2),
+            "feature_mask": jax.random.fold_in(rng, 3)}
+    return model.init(rngs, images, train=True, dn_targets=dn_targets)
+
+
 def make_fused_train_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
                           weights=None, two_stage=True,
                           cost_class=1.5, cost_keypoint=4.0,
