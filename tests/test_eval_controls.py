@@ -215,3 +215,33 @@ def test_arctic_cli_train_smoke_bf16_params(root, tmp_path):
     main(args)
     # per-epoch checkpoint written (epoch 0)
     assert (tmp_path / "out" / "0").is_dir()
+
+
+@pytest.mark.slow
+def test_dino_cli_train_smoke(root, tmp_path):
+    """--modelname dino trains one debug step through the CLI: dn params
+    (label_enc) materialize at init (engine.init_params — the eval-style
+    init lacked them and the first dn step died, round-4 fix), CDN targets
+    flow through the fused step, and a checkpoint lands."""
+    import os
+
+    from uvhand_tpu.cli.main import main
+
+    coco = tmp_path / "data"
+    os.makedirs(str(coco), exist_ok=True)
+    os.symlink(root, str(coco / "arctic"))
+    argv = [
+        "--modelname", "dino",
+        "--dataset_file", "arctic", "--coco_path", str(coco),
+        "--output_dir", str(tmp_path / "out"),
+        "--two_stage", "--with_box_refine",
+        "--enc_layers", "1", "--dec_layers", "1", "--hidden_dim", "64",
+        "--dim_feedforward", "64", "--nheads", "4", "--dropout", "0.0",
+        "--num_queries", "12", "--dn_number", "2",
+        "--batch_size", "8", "--val_batch_size", "8",
+        "--debug", "--num_debug", "1", "--num_workers", "2",
+        "--epochs", "1",
+    ]
+    args = get_args_parser().parse_args(argv)
+    main(args)
+    assert (tmp_path / "out" / "0").is_dir()
