@@ -239,6 +239,61 @@ def test_mdev_parity():
     assert len(o) >= 2  # the crafted windows actually exist
 
 
+def test_acc_pose_parity():
+    """ACC (m/s^2, BASELINE table metric) vs the reference eval_acc_pose
+    (eval_modules.py:283-371) on a 20-frame sequence with validity gaps.
+    Note the reference's own shape quirk: acc/h is NaN-padded to F frames,
+    acc/o stays at F-2 — compare accordingly."""
+    from uvhand_tpu.evaluation import metrics as mymetrics
+
+    ref = import_reference_loss()
+    rng = np.random.default_rng(23)
+    F, V, NV, J = 20, 80, 30, 21
+    parts = np.zeros((F, NV), np.int64)
+    parts[:, :24] = rng.integers(1, 3, 24)
+    parts[:, 0] = 2
+
+    def seq(scale):
+        return (rng.normal(size=(F, V, 3)) * scale).astype(np.float32)
+
+    d = {
+        "gt_vo": rng.normal(size=(F, NV, 3)).astype(np.float32) * 0.1,
+        "pr_vo": rng.normal(size=(F, NV, 3)).astype(np.float32) * 0.1,
+        "gt_vr": seq(0.1), "pr_vr": seq(0.1),
+        "gt_vl": seq(0.1), "pr_vl": seq(0.1),
+        "gt_jr": rng.normal(size=(F, J, 3)).astype(np.float32) * 0.1,
+        "pr_jr": rng.normal(size=(F, J, 3)).astype(np.float32) * 0.1,
+        "gt_jl": rng.normal(size=(F, J, 3)).astype(np.float32) * 0.1,
+        "pr_jl": rng.normal(size=(F, J, 3)).astype(np.float32) * 0.1,
+    }
+    iv = np.ones(F, np.float32); iv[9] = 0
+    rv = np.ones(F, np.float32); rv[3] = 0
+    lv = np.ones(F, np.float32); lv[14:16] = 0
+
+    tg_t = {"object.v.cam": _t(d["gt_vo"]), "mano.v3d.cam.r": _t(d["gt_vr"]),
+            "mano.v3d.cam.l": _t(d["gt_vl"]), "mano.j3d.cam.r": _t(d["gt_jr"]),
+            "mano.j3d.cam.l": _t(d["gt_jl"]),
+            "object.parts_ids": torch.from_numpy(parts).long(),
+            "is_valid": _t(iv), "right_valid": _t(rv), "left_valid": _t(lv)}
+    pr_t = {"object.v.cam": _t(d["pr_vo"]), "mano.v3d.cam.r": _t(d["pr_vr"]),
+            "mano.v3d.cam.l": _t(d["pr_vl"]), "mano.j3d.cam.r": _t(d["pr_jr"]),
+            "mano.j3d.cam.l": _t(d["pr_jl"])}
+    with torch.no_grad(), torch_cuda_as_cpu():
+        ref_out = ref.eval_modules.eval_acc_pose(pr_t, tg_t, {})
+
+    import jax.numpy as jnp
+
+    tg = {k: jnp.asarray(v.numpy() if isinstance(v, torch.Tensor) else v)
+          for k, v in tg_t.items()}
+    pr = {k: jnp.asarray(v.numpy()) for k, v in pr_t.items()}
+    mine = mymetrics.eval_acc_pose(pr, tg)
+
+    _cmp_metric("acc/h", mine["acc/h"], ref_out["acc/h"], atol=1e-2, rtol=1e-4)
+    # reference acc/o is unpadded (F-2); ours pads to F like acc/h
+    _cmp_metric("acc/o", np.asarray(mine["acc/o"])[1:-1], ref_out["acc/o"],
+                atol=1e-2, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_eval_pipeline_end_to_end():
     """engine.make_eval_step (jitted fwd + decode + metrics) vs the
