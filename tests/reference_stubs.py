@@ -408,6 +408,48 @@ def import_reference_loss():
     return ref
 
 
+def import_reference_dataset():
+    """-> (arctic_dataset module, tempo_inference_dataset module): the
+    reference's REAL data-loading code (`arctic_tools/src/datasets/
+    arctic_dataset.py`, `tempo_inference_dataset.py`), importable and
+    runnable on CPU against an ARCTIC-layout disk root.
+
+    Only two things are substituted, neither of them data-path code:
+      - `torchvision.transforms.Normalize` (trivial mean/std op, torchvision
+        absent in this image),
+      - `ObjectTensors` must be monkeypatched by the CALLER on the returned
+        module (the real one loads licensed object meshes from disk); the
+        dataset only reads `.obj_tensors["kp_bottom"]` (mm) and `["names"]`.
+    Everything else — get_valid, downsample, speedup transforms, augm_params,
+    j2d/rgb/pose processing, the DETR keypoint renorm, ego-K pinning — runs
+    the reference's own lines.
+    """
+    ref = import_reference_loss()  # namespace pkgs + library stand-ins
+    del ref
+    import importlib
+
+    import torch
+
+    if "torchvision.transforms" not in sys.modules:
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean, dtype=torch.float32).view(-1, 1, 1)
+                self.std = torch.tensor(std, dtype=torch.float32).view(-1, 1, 1)
+
+            def __call__(self, x):
+                return (x - self.mean) / self.std
+
+        tvt.Normalize = Normalize
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision"].transforms = tvt
+
+    ds_mod = importlib.import_module("src.datasets.arctic_dataset")
+    tempo_mod = importlib.import_module("src.datasets.tempo_inference_dataset")
+    return ds_mod, tempo_mod
+
+
 import contextlib
 
 

@@ -31,8 +31,17 @@ import numpy as np
 from ..geometry.objects import OBJECT_NAMES
 from . import augment
 
-# ARCTIC class table (reference cfg.py): 0=bg-ish, 1..11 objects, 12/13 hands
-OBJ2IDX = {name: i + 1 for i, name in enumerate(OBJECT_NAMES)}
+# ARCTIC class-label table (reference cfg.py:14-26): 0=bg-ish, 1..11 objects
+# (ALPHABETICAL order), 12/13 hands. NOTE this is a DIFFERENT numbering from
+# the object-bank index (OBJECT_NAMES == the reference ObjectTensors OBJECTS
+# order, used for kp3d_cano / query_idx) — the reference carries both, and
+# deriving obj2idx from the bank order mislabels 9 of 11 objects (caught by
+# the round-5 data A/B, test_reference_parity_data.py).
+OBJ2IDX = {
+    "box": 1, "capsulemachine": 2, "espressomachine": 3, "ketchup": 4,
+    "laptop": 5, "microwave": 6, "mixer": 7, "notebook": 8, "phone": 9,
+    "scissors": 10, "waffleiron": 11,
+}
 HAND_IDX = (12, 13)  # left, right
 NUM_CLASSES = 14
 T_SLOTS = 3  # object, left hand, right hand
@@ -50,21 +59,31 @@ def transform_kp2d_crop(kp2d, bbox):
 
 
 SUBSET_SIZES = {
-    # dataset_utils.py:102-133 mini/tiny/small split sizes
+    # dataset_utils.py:102-133 (get_num_images) mini/tiny/small split sizes.
+    # NOTE the asymmetric test sizes (tinytest 6000, minitest 200) — the
+    # round-5 data-layer A/B vs the reference's own downsample caught this
+    # table carrying 500/80 (copied from the val row).
     "smalltrain": 100000, "tinytrain": 12000, "minitrain": 300,
     "smallval": 12000, "tinyval": 500, "minival": 80,
-    "smalltest": 12000, "tinytest": 500, "minitest": 80,
+    "smalltest": 12000, "tinytest": 6000, "minitest": 200,
 }
 
 
 def downsample(imgnames, split):
     """Deterministic subset for mini/tiny/small splits
-    (dataset_utils.py:153-165: random.seed(1) + random.sample)."""
+    (dataset_utils.py:153-170: random.seed(1) + random.sample).
+
+    The reference draws `random.randint(0, 100)` FIRST and asserts it is 17
+    (a same-seed sanity check). That draw advances the RNG stream, so it
+    changes which samples `random.sample` picks — replicate it exactly or
+    every mini/tiny subset differs from the reference's (caught by the
+    round-5 data A/B)."""
     if "small" not in split and "mini" not in split and "tiny" not in split:
         return imgnames
     import random
 
     rng = random.Random(1)
+    assert rng.randint(0, 100) == 17, "RNG stream drifted from reference"
     n = min(SUBSET_SIZES.get(split, len(imgnames)), len(imgnames))
     return rng.sample(imgnames, n)
 
@@ -108,12 +127,16 @@ class ArcticDataset:
             op.join(root, f"splits/{setup}_{short}.npy"), allow_pickle=True
         ).item()
         self.data = data["data_dict"]
-        self.imgnames = downsample(list(data["imgnames"]), split)
+        # ORDER matters: the reference filters by seq BEFORE downsampling
+        # (_process_imgnames, arctic_dataset.py:424-430), so a mini/tiny
+        # subset under --seq is sampled from the filtered list
+        self.imgnames = list(data["imgnames"])
         if seq is not None:
             # single-sequence filter; augmentation off under it
             # (arctic_dataset.py:424-438)
             self.imgnames = [n for n in self.imgnames if "/" + seq + "/" in n]
             self.aug = False
+        self.imgnames = downsample(self.imgnames, split)
         if viewpoint is not None:
             # evaluate one (subject, seq, view) only (--test_viewpoint,
             # settings.py:33-35)
@@ -219,7 +242,13 @@ class ArcticDataset:
         kp3d = np.array(cam["kp3d"][vidx, view_idx], np.float32)
         radian = np.float32(params["obj_arti"][vidx])
 
-        bbox = list(np.array(bbox_all[vidx, view_idx], np.float64))
+        # float32 ON PURPOSE: the reference's bbox rides a float32 array
+        # (dataset_utils.py:51 np.array of the float32 annotation), so every
+        # derived center/scale is float32-rounded BEFORE the crop transforms.
+        # float64 here shifts the affine by ~1e-7, which flips the int
+        # truncation in the DETR keypoint renorm on knife-edge values
+        # (caught by the round-5 data A/B).
+        bbox = list(np.array(bbox_all[vidx, view_idx], np.float32))
         is_egocam = view_idx == 0
 
         kp2d_t, kp2d_b = kp2d[:16], kp2d[16:]
@@ -239,7 +268,9 @@ class ArcticDataset:
                 kp2d_t = transform_kp2d_crop(kp2d_t, bbox)
                 bbox2d_b = transform_kp2d_crop(bbox2d_b, bbox)
                 bbox2d_t = transform_kp2d_crop(bbox2d_t, bbox)
-                bbox = [500.0, 500.0, 1000.0 / (1.5 * 200)]
+                # assigned INTO the float32 array by the reference -> f32
+                bbox = [np.float32(500.0), np.float32(500.0),
+                        np.float32(1000.0 / (1.5 * 200))]
 
         center = [bbox[0], bbox[1]]
         scale = bbox[2]
@@ -360,12 +391,14 @@ class ArcticDataset:
         else:
             intrx = np.eye(3, dtype=np.float32)
 
-        bbox = list(np.array(bbox_all[vidx, view_idx], np.float64))
+        # float32 like the reference's bbox array (see __getitem__ note)
+        bbox = list(np.array(bbox_all[vidx, view_idx], np.float32))
         if self.speedup:
             if is_egocam:
                 bbox = [v * self.ego_image_scale for v in bbox]
             else:
-                bbox = [500.0, 500.0, 1000.0 / (1.5 * 200)]
+                bbox = [np.float32(500.0), np.float32(500.0),
+                        np.float32(1000.0 / (1.5 * 200))]
         center, scale = [bbox[0], bbox[1]], bbox[2]
 
         augm = augment.augm_params(np.random.default_rng(0), False)

@@ -5,6 +5,12 @@ Parity with `/root/reference/arctic_tools/common/data_utils.py`:
 `generate_patch_image:96`, `augm_params:136`, `rgb_processing:183`,
 `j2d_processing:225`, `pose_processing:245`, `rot_aa:257`.
 
+The crop-geometry helpers (`get_transform`, `transform_point`,
+`gen_trans_from_patch_cv`) are TRANSCRIBED from `data_utils.py:10-133` —
+they ARE the numerical contract (bit-exact crop geometry, descended from
+public SPIN/ARCTIC upstream boilerplate), so they are kept line-faithful
+on purpose rather than rewritten.
+
 These run in CPU dataloader workers feeding device prefetch; nothing here
 touches JAX. Augmentation draws come from a passed-in numpy Generator so
 samples are reproducible per (seed, index).
@@ -190,13 +196,22 @@ def pad_jts2d(jts: np.ndarray) -> np.ndarray:
 # DETR target keypoints are mapped back to the ORIGINAL cropped-image frame
 # then renormalized x/840, y -> 160*y/(600*224) + 32/224.
 def renormalize_keypoints_for_detr(kp2d_norm, center, scale_aug, img_res):
-    """kp2d_norm (N, 2) in [-1,1] patch coords -> UVHand 42-d target space."""
-    kp = 0.5 * img_res * (kp2d_norm + 1)  # unnormalize to patch px
+    """kp2d_norm (N, 2) in [-1,1] patch coords -> UVHand 42-d target space.
+
+    The reference runs this chain on float32 TORCH tensors
+    (arctic_dataset.py:343-395: `.float()` targets -> unormalize_kp2d ->
+    per-point `transform(..., invert=1)` with its `.astype(int) + 1`
+    truncation). The unnormalize/-1 steps are therefore float32 before the
+    float64 affine solve; keeping them float64 here flips the int truncation
+    on knife-edge values (~±1 px -> 1/840 drift, caught by the data A/B)."""
+    kp = (np.float32(0.5) * np.float32(img_res)
+          * (kp2d_norm.astype(np.float32) + np.float32(1.0)))
     out = np.zeros_like(kp)
     t = get_transform(center, scale_aug, [img_res, img_res], rot=0)
     t_inv = np.linalg.inv(t)
+    one = np.float32(1.0)
     for i in range(kp.shape[0]):
-        xy = t_inv @ np.array([kp[i, 0] - 1, kp[i, 1] - 1, 1.0])
+        xy = t_inv @ np.array([kp[i, 0] - one, kp[i, 1] - one, 1.0])
         x, y = (xy[:2].astype(int) + 1).astype(np.float32)
         out[i, 0] = x / 840.0
         out[i, 1] = 160.0 * y / (600.0 * 224.0) + 32.0 / 224.0
