@@ -170,6 +170,13 @@ def get_args_parser():
     p.add_argument("--window_size", default=1, type=int)
     p.add_argument("--split_window", action="store_true",
                    help="arctic_lstm: per-frame targets (default: center-frame only)")
+    p.add_argument("--temporal_head", default="none",
+                   choices=["none", "lstm", "vivit"],
+                   help="arctic_lstm: in-model temporal head refining the "
+                        "selected params over each window (lstm = the "
+                        "arctic_lstm BiLSTM design, vivit = TemporalAttention"
+                        "; models/temporal/sequence.py). SmoothNet remains "
+                        "the separate post-hoc stage (--train_smoothnet).")
     p.add_argument("--trainsplit", default="train",
                    choices=["train", "smalltrain", "tinytrain", "minitrain"])
     p.add_argument("--valsplit", default="val",
@@ -264,6 +271,9 @@ def build_model(args):
         with_box_refine=args.with_box_refine,
         backbone=args.backbone,
         feature_type=args.feature_type,
+        temporal_head=getattr(args, "temporal_head", "none"),
+        temporal_window=args.window_size
+        if getattr(args, "temporal_head", "none") != "none" else 0,
     )
 
 
@@ -341,6 +351,11 @@ def main(args):
         two_stage=args.two_stage, seq=args.seq,
         viewpoint=args.test_viewpoint, native_images=args.native_loader,
     )
+    if args.temporal_head != "none" and (
+            args.method != "arctic_lstm" or args.window_size <= 1):
+        raise SystemExit(
+            "--temporal_head requires --method arctic_lstm and "
+            "--window_size > 1 (the head mixes over window frames)")
     if args.method == "arctic_lstm" and not args.eval and not args.train_smoothnet:
         # temporal training: per-frame-centered windows (TempoDataset,
         # tempo_dataset.py:57-103), flattened to a B*T frame axis; targets

@@ -45,6 +45,10 @@ def select_output_frames(outputs, idx):
             k: (v[idx] if v is not None else None)
             for k, v in outputs["interm_outputs"].items()
         }
+    if outputs.get("temporal_selected") is not None:
+        out["temporal_selected"] = {
+            k: v[idx] for k, v in outputs["temporal_selected"].items()
+        }
     return out
 
 
@@ -184,7 +188,10 @@ def make_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0,
         outputs = model.apply({"params": params}, batch["images"], train=False)
         st = outputs["stacked"]
         last = {k: v[-1] for k, v in st.items() if v is not None}
-        selected = select_queries(last)
+        # temporal-head models decode from the window-refined params
+        selected = outputs.get("temporal_selected")
+        if selected is None:
+            selected = select_queries(last)
         pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
         if smooth_iter > 0:
             for k in ("object.v.cam", "mano.v3d.cam.r", "mano.v3d.cam.l"):
@@ -225,8 +232,10 @@ def make_sequence_eval_step(model, mano_r, mano_l, obj_bank, img_res=224.0):
         targets = process_targets(batch, mano_r, mano_l, obj_bank, img_res)
         outputs = model.apply({"params": params}, batch["images"], train=False)
         st = outputs["stacked"]
-        selected = select_queries(
-            {k: v[-1] for k, v in st.items() if v is not None})
+        selected = outputs.get("temporal_selected")
+        if selected is None:
+            selected = select_queries(
+                {k: v[-1] for k, v in st.items() if v is not None})
         pred = decode_predictions(selected, targets, mano_r, mano_l, obj_bank, img_res)
         keep_pred = {k: pred[k] for k in (
             "mano.v3d.cam.r", "mano.v3d.cam.l", "mano.j3d.cam.r", "mano.j3d.cam.l",

@@ -210,6 +210,14 @@ def compute_small_loss(
     # round-4 loss A/B (tests/test_reference_parity_loss.py) caught the
     # previous `*is_valid`-everywhere version drifting on frames with
     # is_valid=0 but hand_valid=1.
+    # GATE SCOPE under SPMD (recorded design decision): inside the fused dp
+    # program this sum spans the GLOBAL batch, while the reference DDP
+    # evaluates the branch per-rank on its local shard — a rank whose local
+    # shard has no valid right hand contributes zero right-hand loss there
+    # but a (globally gated) masked mean here. We keep the global gate on
+    # purpose: it is deterministic in the global batch composition instead
+    # of in how the sampler happened to shard it, and matches the reference
+    # exactly whenever any single process sees the whole batch.
     is_valid = gt["is_valid"].astype(jnp.float32)
     right_valid = gt["right_valid"].astype(jnp.float32)
     left_valid = gt["left_valid"].astype(jnp.float32)
@@ -455,6 +463,19 @@ def arctic_criterion(
             loss_dict[k] = v
             base = k.split("_dn")[0]  # loss_ce / loss_hand_keypoint / loss_obj_keypoint
             total = total + weights.get(base, 0.0) * v
+
+    if outputs.get("temporal_selected") is not None:
+        # temporal-head supervision (models/detr.py temporal_head): the
+        # refined last-layer selected params get their own ARCTIC small-loss
+        # pass, weighted like the last layer (deep-supervision style — the
+        # per-layer aux terms above stay; eval decodes from the refined
+        # params, engine.make_eval_step)
+        small_t = compute_small_loss(
+            outputs["temporal_selected"], targets, mano_r, mano_l, obj_bank,
+            img_res)
+        for k, v in small_t.items():
+            loss_dict[f"{k}/temporal"] = v
+            total = total + weights.get(k, 0.0) * v
 
     if two_stage and "interm_outputs" in outputs and outputs["interm_outputs"] is not None:
         io = outputs["interm_outputs"]

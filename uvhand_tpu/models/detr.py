@@ -97,6 +97,15 @@ class UVHandDETR(nn.Module):
     # decoder-pinned. The training CLI and bench intentionally default it ON
     # (--stem_s2d, cli/main.py) — that ~1 ulp drift is the production point.
     stem_s2d: bool = False
+    # temporal sequence head over window frames: refines the LAST layer's
+    # selected per-entity params across each temporal_window-frame window
+    # (models/temporal/sequence.py). "lstm" = the arctic_lstm BiLSTM design
+    # (/root/reference/arctic_tools/src/models/arctic_lstm/model.py:36-61),
+    # "vivit" = TemporalAttention (BASELINE config-5 "ViViT temporal
+    # encoder"). Train: the refined params get their own ARCTIC small-loss
+    # terms (criterion `/temporal` keys); eval decodes from them.
+    temporal_head: str = "none"  # 'none' | 'lstm' | 'vivit'
+    temporal_window: int = 0
 
     def _posenc(self, mask):
         if self.position_embedding == "learned":
@@ -180,6 +189,15 @@ class UVHandDETR(nn.Module):
             self.pos_embed_learned = LearnedPositionEncoding(
                 num_pos_feats=self.d_model // 2, name="pos_embed"
             )
+
+        if self.temporal_head != "none":
+            from .temporal.sequence import TemporalParamHead
+
+            assert self.temporal_head in ("lstm", "vivit"), self.temporal_head
+            assert self.temporal_window > 1, "temporal_head needs temporal_window"
+            self.temporal_param_head = TemporalParamHead(
+                self.temporal_window, kind=self.temporal_head,
+                name="temporal_param_head")
 
         xavier = nn.initializers.xavier_uniform()
         self.mano_pose_head = nn.Dense(48, kernel_init=xavier, name="mano_pose_head")
@@ -330,4 +348,13 @@ class UVHandDETR(nn.Module):
             }
         if dn_out is not None:
             out["dn_outputs"] = dn_out
+        if self.temporal_head != "none":
+            # refine the last layer's selected per-entity params over the
+            # window axis (rows are consecutive frames of flattened windows,
+            # collate_windows/collate_tempo_train layout)
+            from ..losses.criterion import select_queries
+
+            last = {k: v[-1] for k, v in out["stacked"].items() if v is not None}
+            out["temporal_selected"] = self.temporal_param_head(
+                select_queries(last), train)
         return out

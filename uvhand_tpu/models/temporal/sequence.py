@@ -72,12 +72,38 @@ class TemporalAttention(nn.Module):
         return nn.Dense(C, name="out_proj")(x)
 
 
+class TemporalLSTMBlock(nn.Module):
+    """Residual-ready BiLSTM block (arctic_lstm model.py:36-61 design: a
+    bidirectional LSTM whose 2*hidden output preserves the feature width,
+    followed by per-frame heads — here a Dense back to the input width)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):  # (B, T, C) -> (B, T, C)
+        B, T, C = xs.shape
+        h = nn.Dense(self.dim, name="in_proj")(xs)
+        h = BiLSTM(self.dim // 2, name="bilstm")(h)  # (B, T, dim)
+        return nn.Dense(C, name="out_proj")(h)
+
+
 class TemporalParamHead(nn.Module):
-    """Refine selected-query params over a window with residual temporal
-    attention (drop-in alternative to ArcticSmoother)."""
+    """Refine selected-query params over a window with a residual temporal
+    mixer (drop-in alternative to ArcticSmoother).
+
+    kind: "vivit" = TemporalAttention blocks (BASELINE config-5 "ViViT
+    temporal encoder"); "lstm" = BiLSTM blocks (the arctic_lstm design,
+    `/root/reference/arctic_tools/src/models/arctic_lstm/model.py:36-61`,
+    applied at the selected-param level — the reference mixes backbone
+    features; params are the TPU-friendly (B, T, <=48) equivalent surface
+    that slots into the DETR pipeline without a feature cache).
+
+    Rows are padded (last-row repeat) up to a multiple of window_size so a
+    B=1 init trace creates the same params as a full window batch."""
 
     window_size: int
     dim: int = 256
+    kind: str = "vivit"
 
     @nn.compact
     def __call__(self, selected, train: bool = False):
@@ -89,10 +115,16 @@ class TemporalParamHead(nn.Module):
             ("beta.l", 10), ("beta.r", 10),
             ("obj_rot", 3), ("obj_rad", 1),
         ]
+        block = {"vivit": TemporalAttention, "lstm": TemporalLSTMBlock}[self.kind]
         for name, d in specs:
             x = selected[name]
-            x2 = x.reshape(-1, T, d) if d > 1 else x.reshape(-1, T, 1)
-            head = TemporalAttention(self.dim, name=f"ta_{name.replace('.', '_')}")
+            flat = x.reshape(-1, d)
+            B = flat.shape[0]
+            pad = (-B) % T
+            if pad:
+                flat = jnp.concatenate([flat, jnp.tile(flat[-1:], (pad, 1))], 0)
+            x2 = flat.reshape(-1, T, d)
+            head = block(self.dim, name=f"ta_{name.replace('.', '_')}")
             y = x2 + head(x2, train)
-            out[name] = y.reshape(x.shape)
+            out[name] = y.reshape(-1, d)[:B].reshape(x.shape)
         return out
