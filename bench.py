@@ -44,12 +44,14 @@ REFERENCE_FPS_ESTIMATE = 140.0  # frames/s per A100, train step (see docstring)
 BATCH = int(os.environ.get("UVHAND_BENCH_BATCH", 16))
 # UVHAND_BENCH_DTYPE=bfloat16|float32 measures one mode only; default both
 DTYPE = os.environ.get("UVHAND_BENCH_DTYPE", "")
-# 60 steps: the loopback relay charges ~180 ms per program LAUNCH (xprof
-# shows the device 100% busy with tc_idle ~0.04 ms across the whole scan,
-# so the wall-vs-device gap is all launch overhead). 20 steps left a ~9
-# ms/step artifact on the reading; 60 amortizes it to ~3 ms. Device
-# self-time per step is the tunnel-free number (UVHAND_BENCH_PROFILE).
-SCAN_STEPS = int(os.environ.get("UVHAND_BENCH_SCAN", 60))
+# 120 steps: the loopback relay charges a per-LAUNCH overhead (xprof shows
+# the device 100% busy with tc_idle ~0.04 ms across the whole scan, so the
+# wall-vs-device gap is all launch overhead) whose size DRIFTS by session —
+# ~180 ms in round 4, ~550 ms measured round 5 (90.2 ms/step device ==
+# round 4's 90.7, yet wall read 161 vs 172 f/s at 60 steps). 120 steps
+# halves the artifact's per-step share; device self-time per step is the
+# tunnel-free number (UVHAND_BENCH_PROFILE).
+SCAN_STEPS = int(os.environ.get("UVHAND_BENCH_SCAN", 120))
 # wall-clock budget for the best-effort extra modes. The headline ignores
 # it (a headline-less bench is worthless); extras start only while under.
 BUDGET_S = float(os.environ.get("UVHAND_BENCH_BUDGET_S", 1200))
@@ -93,11 +95,17 @@ def measure(dtype_name: str, batch, world) -> float:
     # queries fed every step by the fused train step, look-forward-twice;
     # decoder runs 300 matching + 198 dn queries)
     dino = os.environ.get("UVHAND_BENCH_MODEL", "") == "dino"
+    # UVHAND_BENCH_TEMPORAL={lstm,vivit} (with UVHAND_BENCH_WINDOW=T):
+    # in-model temporal head refining selected params over each window
+    temporal = os.environ.get("UVHAND_BENCH_TEMPORAL", "none")
+    t_window = int(os.environ.get("UVHAND_BENCH_WINDOW", "0"))
     model = UVHandDETR(compute_dtype=jnp.dtype(dtype_name), remat=remat,
                        enc_lite=enc_lite, enc_lite_hi_every=enc_lite_hi,
                        stem_s2d=s2d, backbone=backbone,
                        dino_variant=dino, use_dn=dino,
-                       look_forward_twice=dino)
+                       look_forward_twice=dino,
+                       temporal_head=temporal,
+                       temporal_window=t_window if temporal != "none" else 0)
     params = jax.jit(lambda r, im: engine.init_params(model, r, im))(
         jax.random.PRNGKey(0), batch["images"][:1]
     )
@@ -183,6 +191,9 @@ def measure_infer(dtype_name: str, batch, world) -> float:
     sums = run_k(variables, batch["images"])
     jax.block_until_ready(sums)
     dt = time.perf_counter() - t0
+    # frames actually in the batch (== BATCH except in window mode, where the
+    # loader yields max(BATCH//T,1)*T frames)
+    frames = int(batch["images"].shape[0])
 
     prof = os.environ.get("UVHAND_BENCH_PROFILE", "")
     if prof:
@@ -191,7 +202,30 @@ def measure_infer(dtype_name: str, batch, world) -> float:
         with jax.profiler.trace(os.path.join(prof, "infer_" + dtype_name)):
             sums = run_k(variables, batch["images"])
             jax.block_until_ready(sums)
-    return BATCH * SCAN_STEPS / dt
+    return frames * SCAN_STEPS / dt
+
+
+def _make_window_batch(root, bank, window: int):
+    """One temporal-train batch (windows flattened to frames) from the disk
+    pipeline — BASELINE config-3 style (UVHAND_BENCH_WINDOW / the window32
+    extra)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from uvhand_tpu.data import arctic, loader
+
+    n_frames = max(window + 22, BATCH + 1)
+    arctic.make_synthetic_root(root, num_seqs=1, frames=n_frames, views=1,
+                               obj_bank=bank)
+    ds = arctic.ArcticDataset(root, "p1", "train",
+                              kp3d_cano=np.asarray(bank.kp_bottom))
+    split = os.environ.get("UVHAND_BENCH_SPLIT", "1") == "1"
+    tds = arctic.TempoTrainDataset(ds, window, split_window=split)
+    dl = loader.DataLoader(
+        tds, max(BATCH // window, 1), shuffle=False, seed=0,
+        collate_fn=partial(arctic.collate_tempo_train, split_window=split))
+    return {k: jnp.asarray(v) for k, v in next(iter(dl)).items()}
 
 
 def _under_budget() -> bool:
@@ -223,19 +257,7 @@ def main():
     # counts every supervised window frame.
     window = int(os.environ.get("UVHAND_BENCH_WINDOW", "0"))
     if window:
-        from functools import partial
-
-        n_frames = max(window + 22, BATCH + 1)
-        arctic.make_synthetic_root(root, num_seqs=1, frames=n_frames, views=1,
-                                   obj_bank=bank)
-        ds = arctic.ArcticDataset(root, "p1", "train",
-                                  kp3d_cano=np.asarray(bank.kp_bottom))
-        split = os.environ.get("UVHAND_BENCH_SPLIT", "1") == "1"
-        tds = arctic.TempoTrainDataset(ds, window, split_window=split)
-        dl = loader.DataLoader(
-            tds, max(BATCH // window, 1), shuffle=False, seed=0,
-            collate_fn=partial(arctic.collate_tempo_train, split_window=split))
-        batch = next(iter(dl))
+        batch = _make_window_batch(root, bank, window)
     else:
         arctic.make_synthetic_root(root, num_seqs=2, frames=(BATCH + 1) // 2,
                                    views=1, obj_bank=bank)
@@ -277,16 +299,44 @@ def main():
     if os.environ.get("UVHAND_BENCH_INFER", "1") != "1":
         extras = extras[:1]
     if os.environ.get("UVHAND_BENCH_LITE", "1") == "1":
+        # PRODUCTION operating point (PERF.md round-4 sign-off): Lite-DETR
+        # interleaved encoder with the full-token-set refresh only in the
+        # final layer (hi_every=6). Semantics change vs the faithful
+        # headline, metric-signed-off on held-out rendered-GT data.
+        hi = os.environ.get("UVHAND_BENCH_ENC_LITE_HI", "6")
+
         def _enc_lite():
-            # opt-in fast mode (Lite-DETR interleaved encoder; semantics
-            # change, so it is reported beside the faithful headline)
             os.environ["UVHAND_BENCH_ENC_LITE"] = "1"
+            os.environ["UVHAND_BENCH_ENC_LITE_HI"] = hi
             try:
                 return measure("bfloat16", batch, world)
             finally:
                 del os.environ["UVHAND_BENCH_ENC_LITE"]
-        extras.append(("train_frames_per_sec_chip_enc_lite", _enc_lite,
-                       {"dtype": "bfloat16", "mode": "enc_lite"}))
+                del os.environ["UVHAND_BENCH_ENC_LITE_HI"]
+        extras.insert(1, ("train_frames_per_sec_chip_enc_lite", _enc_lite,
+                          {"dtype": "bfloat16", "mode": "enc_lite",
+                           "enc_lite_hi_every": int(hi)}))
+    # BASELINE config-3 (window-32 temporal train) and config-2 (Swin-L-384)
+    # operating points, budget permitting. No published reference number for
+    # either mode, so no vs_baseline on these rows (the R50-based estimate
+    # would not be an apples comparison; PERF.md).
+    if os.environ.get("UVHAND_BENCH_EXTRA_MODES", "1") == "1" and not window:
+        def _window32():
+            batch32 = _make_window_batch(root + "_w32", bank, 32)
+            return measure("bfloat16", batch32, world)
+        extras.append(("train_frames_per_sec_chip_window32", _window32,
+                       {"dtype": "bfloat16", "mode": "window32",
+                        "note": "BASELINE config-3 temporal train, remat"}))
+
+        def _swin():
+            os.environ["UVHAND_BENCH_BACKBONE"] = "swin"
+            try:
+                return measure("bfloat16", batch, world)
+            finally:
+                del os.environ["UVHAND_BENCH_BACKBONE"]
+        extras.append(("train_frames_per_sec_chip_swin", _swin,
+                       {"dtype": "bfloat16", "mode": "swin_L_384_22k",
+                        "note": "BASELINE config-2 backbone"}))
     for metric, fn, meta in extras:
         if not _under_budget():
             _emit({"metric": metric, "skipped": "budget",
@@ -298,7 +348,7 @@ def main():
             _emit({"metric": metric, "error": f"{type(e).__name__}: {e}"[:200]})
             continue
         row = {"metric": metric, "value": round(v, 2), "unit": "frames/s"}
-        if metric.startswith("train_"):
+        if metric.startswith("train_") and "note" not in meta:
             row["vs_baseline"] = round(v / REFERENCE_FPS_ESTIMATE, 3)
         row.update(meta)
         _emit(row)
