@@ -40,17 +40,34 @@ def build_world(args):
     from uvhand_tpu.train.state import create_train_state
     from __graft_entry__ import _flagship, _tiny_targets
 
+    from uvhand_tpu import engine
+
     model, (H, W) = _flagship(tiny=args.tiny)
+    overrides = {}
     if getattr(args, "backbone", "resnet50") != "resnet50":
         # AOT-validate alternate-backbone flagships (e.g. swin_L_384_22k)
-        model = model.clone(backbone=args.backbone)
+        overrides["backbone"] = args.backbone
+    if getattr(args, "model", "detr") == "dino":
+        # DINO variant: CDN query plumbing (label_enc, dn attention mask,
+        # dn_meta split) under the partitioner — VERDICT r4 missing #3
+        overrides.update(dino_variant=True, use_dn=True,
+                         look_forward_twice=True)
+    window = int(getattr(args, "window", 0))
+    if window:
+        # window-temporal step: B window frames, center-frame targets +
+        # the center_index gather (engine.select_output_frames)
+        overrides.update(temporal_head=getattr(args, "temporal", "none"),
+                         temporal_window=window
+                         if getattr(args, "temporal", "none") != "none" else 0)
+    if overrides:
+        model = model.clone(**overrides)
     mano_r = mano.synthetic_mano(0, True)
     mano_l = mano.synthetic_mano(1, False)
     bank = objects.synthetic_object_bank(2)
 
     imgs = jnp.zeros((1, H, W, 3), jnp.float32)
     params = jax.eval_shape(
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, imgs))
+        lambda: engine.init_params(model, jax.random.PRNGKey(0), imgs))
     state_shape = jax.eval_shape(
         lambda p: create_train_state(model, p, lr=1e-4), params)
     B = args.batch
@@ -58,6 +75,12 @@ def build_world(args):
         "images": jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32),
         "targets": jax.eval_shape(lambda: _tiny_targets(B)),
     }
+    if window:
+        # center-frame layout: targets for B//window windows, plus the
+        # per-window center row index into the flattened frame axis
+        bw = max(B // window, 1)
+        batch_shape["targets"] = jax.eval_shape(lambda: _tiny_targets(bw))
+        batch_shape["center_index"] = jax.ShapeDtypeStruct((bw,), jnp.int32)
     return model, (mano_r, mano_l, bank), state_shape, batch_shape, params
 
 
@@ -156,6 +179,16 @@ def main():
     ap.add_argument("--backbone", default="resnet50",
                     choices=["resnet50", "swin_L_384_22k",
                              "convnext_xlarge_22k"])
+    ap.add_argument("--model", default="detr", choices=["detr", "dino"],
+                    help="dino = CDN denoising variant (dn plumbing under "
+                         "the partitioner)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="window-temporal step: --batch window frames, "
+                         "center-frame targets + center_index gather. "
+                         "batch//window must divide by dp.")
+    ap.add_argument("--temporal", default="none",
+                    choices=["none", "lstm", "vivit"],
+                    help="with --window: in-model temporal head")
     args = ap.parse_args()
 
     os.environ.setdefault("UVHAND_MSDA_IMPL", "xla")  # phase A

@@ -10,8 +10,9 @@ p = label_noise_ratio/2).
 TPU-first: the reference sizes dn groups dynamically from the max GT count
 per batch; here the target count is the static 3 slots (object/left/right),
 so groups = dn_number // (2*3) is a compile-time constant and every tensor
-is static. Invalid target slots ride along and are masked out of the dn
-losses (dn_valid).
+is static. Invalid target slots ride along: they classify as background in
+the dn focal CE (reference semantics — the whole pad participates) and are
+excluded from the dn keypoint L1 (dn_valid).
 """
 
 from __future__ import annotations
@@ -119,7 +120,12 @@ def dn_losses(
     """Per-layer dn losses, suffixed `_dn` by the caller (dino.py:617-676).
 
     Positives regress to their GT keys and classify as their GT label;
-    negatives classify as no-object. Invalid slots masked.
+    negatives classify as no-object. Invalid target slots (target_valid
+    False) contribute background-class focal CE like every other
+    non-positive slot — the reference runs sigmoid_focal_loss over the
+    ENTIRE dn pad with non-known slots labelled background, it does not
+    exclude them (round-4 advice) — and are excluded only from the
+    keypoint L1 (pos requires dn_valid).
 
     EXACT reference normalization (round-4 dn-loss A/B,
     tests/test_reference_parity_loss.py::test_dn_loss_parity):
@@ -149,7 +155,7 @@ def dn_losses(
         p_t = p * onehot + (1 - p) * (1 - onehot)
         loss = ce * (1 - p_t) ** 2
         a_t = focal_alpha * onehot + (1 - focal_alpha) * (1 - onehot)
-        loss = (a_t * loss) * valid[..., None]
+        loss = a_t * loss
         l_ce = loss.mean(1).sum() / (num_boxes * groups) * P
 
         pos_hand = pos & is_hand
