@@ -85,7 +85,10 @@ def main():
 
     TRACKED = ("total", "loss_ce", "loss/mano/kp2d/r", "loss/mano/kp3d/r",
                "loss/mano/pose/r", "loss/object/kp3d", "loss/object/rot",
-               "loss/cd")
+               "loss/cd", "loss/mano/cam_t/r", "loss/object/transl",
+               # the temporal head's own supervised camera terms — these are
+               # where a bad refinement spikes (weak-persp scale near 0)
+               "loss/mano/cam_t/r/temporal", "loss/object/transl/temporal")
 
     results = {}
     for name in args.variants.split(","):

@@ -24,7 +24,16 @@ def test_temporal_attention_window_pos(rng):
     p = ta.init(jax.random.PRNGKey(0), x)
     y = ta.apply(p, x)
     assert y.shape == x.shape
-    # attention mixes time: changing frame 7 changes frame 0 output
+    # zero-init out_proj: the block contributes NOTHING at init, so the
+    # residual TemporalParamHead starts as identity (a random perturbation
+    # of the selected params spiked the camera losses; sequence.py note)
+    assert np.abs(np.asarray(y)).max() == 0.0
+    # with a live out_proj, attention mixes time: changing frame 7 changes
+    # frame 0 output
+    k = np.asarray(p["params"]["out_proj"]["kernel"])
+    p["params"]["out_proj"]["kernel"] = jnp.asarray(
+        rng.normal(size=k.shape) * 0.1, jnp.float32)
+    y = ta.apply(p, x)
     y2 = ta.apply(p, x.at[:, 7].add(5.0))
     assert np.abs(np.asarray(y2[:, 0]) - np.asarray(y[:, 0])).max() > 1e-5
 

@@ -69,7 +69,12 @@ class TemporalAttention(nn.Module):
             y = nn.Dense(int(self.dim * self.mlp_ratio), name=f"fc1_{i}")(y)
             y = nn.Dense(self.dim, name=f"fc2_{i}")(nn.gelu(y))
             x = x + y
-        return nn.Dense(C, name="out_proj")(x)
+        # zero-init: used as a residual branch (TemporalParamHead), the head
+        # starts as identity — a random perturbation of the selected params
+        # can push the weak-perspective scale toward 0 and spike the camera
+        # losses 1e14+ (observed in the round-5 ab_temporal study)
+        return nn.Dense(C, kernel_init=nn.initializers.zeros,
+                        name="out_proj")(x)
 
 
 class TemporalLSTMBlock(nn.Module):
@@ -84,7 +89,9 @@ class TemporalLSTMBlock(nn.Module):
         B, T, C = xs.shape
         h = nn.Dense(self.dim, name="in_proj")(xs)
         h = BiLSTM(self.dim // 2, name="bilstm")(h)  # (B, T, dim)
-        return nn.Dense(C, name="out_proj")(h)
+        # zero-init residual branch (see TemporalAttention.out_proj note)
+        return nn.Dense(C, kernel_init=nn.initializers.zeros,
+                        name="out_proj")(h)
 
 
 class TemporalParamHead(nn.Module):
