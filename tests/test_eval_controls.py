@@ -239,7 +239,9 @@ def test_temporal_head_cli_train_smoke(root, tmp_path):
         "--enc_layers", "1", "--dec_layers", "1", "--hidden_dim", "64",
         "--dim_feedforward", "64", "--nheads", "4", "--dropout", "0.0",
         "--num_queries", "12",
-        "--batch_size", "6", "--val_batch_size", "6",
+        # 8 windows x T=3 = 24 frames/step: the flattened frame axis must
+        # divide the 8-device dp mesh the CPU test backend provides
+        "--batch_size", "24", "--val_batch_size", "8",
         "--debug", "--num_debug", "1", "--num_workers", "2",
         "--epochs", "1",
     ]
