@@ -164,6 +164,7 @@ def measure_infer(dtype_name: str, batch, world) -> float:
     model = UVHandDETR(
         compute_dtype=jnp.dtype(dtype_name),
         enc_lite=os.environ.get("UVHAND_BENCH_ENC_LITE", "") == "1",
+        enc_lite_hi_every=int(os.environ.get("UVHAND_BENCH_ENC_LITE_HI", "3")),
         stem_s2d=os.environ.get("UVHAND_BENCH_S2D", "1") == "1",
         backbone=backbone)
     variables = jax.jit(model.init)(

@@ -233,6 +233,59 @@ def test_downsample_parity(world):
         assert du.get_num_images(split, 10**9) == size, split
 
 
+@pytest.mark.parametrize("i", [0, 1, 4, 5])  # both views: ego + exo
+def test_frame_parity_augmented(world, i):
+    """Aug-ON A/B: both datasets run with the SAME pinned augmentation draw
+    (rot=37 deg, sc=1.12, channel noise), exercising the rotated crop,
+    j2d rotation transform, pose rot_aa and pixel-noise paths that the
+    aug-off tests never reach. The RNG STREAMS deliberately differ (ours is
+    per-(seed,index) resumable, the reference uses global np.random), so
+    the draw itself is monkeypatched on both sides."""
+    import reference_stubs as rs
+    from uvhand_tpu.data import augment as augment_mod
+
+    FIXED = {"flip": 0, "pn": np.array([1.10, 0.95, 1.05]), "rot": 37.0,
+             "sc": 1.12}
+
+    ds_mod = world["ds_mod"]
+    ref = world["ref"]
+    # the --seq path disabled aug on the shared instances; force it on here
+    orig_ref_augm = ds_mod.data_utils.augm_params
+    orig_our_augm = augment_mod.augm_params
+    orig_aug_flag = ref.aug_data
+    ds_mod.data_utils.augm_params = lambda *a, **k: dict(FIXED)
+    augment_mod.augm_params = lambda *a, **k: dict(FIXED)
+    ref.aug_data = True
+    ours_ds = arctic.ArcticDataset(
+        world["root"], "p1", "train",
+        kp3d_cano=np.asarray(world["bank"].kp_bottom), seq=world["seq"],
+        aug=True)
+    ours_ds.aug = True  # the seq filter turns aug off like the reference
+    try:
+        with rs.torch_cuda_as_cpu():
+            inputs, targets, meta = ref.getitem(ref.imgnames[i])
+        ours = ours_ds[i]
+    finally:
+        ds_mod.data_utils.augm_params = orig_ref_augm
+        augment_mod.augm_params = orig_our_augm
+        ref.aug_data = orig_aug_flag
+
+    ref_img = inputs.numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours["images"], ref_img, atol=1e-5, rtol=0)
+    for ok, rk, atol in FIELDS:
+        rv = targets[rk]
+        rv = rv.numpy() if hasattr(rv, "numpy") else np.asarray(rv)
+        ov = np.asarray(ours[ok], np.float64).reshape(rv.squeeze().shape)
+        np.testing.assert_allclose(
+            ov, np.asarray(rv, np.float64).squeeze(),
+            atol=max(atol, 1e-6), rtol=1e-5,
+            err_msg=f"aug frame {i} field {ok}")
+    ref_kp = targets["keypoints"][0].numpy()
+    our_kp = np.stack([k for k, v in zip(ours["keypoints"],
+                                         ours["target_valid"]) if v])
+    np.testing.assert_allclose(our_kp, ref_kp[::-1], atol=1e-6, rtol=1e-6)
+
+
 def test_create_windows_parity(world):
     imgnames = [f"./arctic_data/data/images/s01/box_use_00/{v}/{i:05d}.jpg"
                 for v in (0, 1) for i in range(7)]
