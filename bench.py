@@ -24,6 +24,11 @@ of dispatch latency per program launch, so per-call walls measure the
 tunnel, not the chip. A production local host pipelines async dispatch,
 which the scan emulates faithfully.
 
+HOST-CONTENTION CAVEAT: the relay shares this box's single core; a
+concurrent CPU-heavy process (e.g. a pytest suite) starves it and can
+depress readings up to ~3x (swin measured 22.7 under a running suite vs
+66.8 alone, identical program). Run the bench on an idle host.
+
 The reference publishes no throughput numbers (BASELINE.md). `vs_baseline`
 is computed against REFERENCE_FPS_ESTIMATE: a documented estimate of the
 CUDA reference's single-A100 train throughput for arctic_sf (R50, 224x224,
@@ -286,19 +291,17 @@ def main():
     if DTYPE:
         return
 
-    # ---- best-effort extras: budget-gated, one JSON line each ----
+    # ---- best-effort extras: budget-gated, one JSON line each, ordered by
+    # importance (a budget cutoff drops the tail, not the production lines)
     extras = [
         ("train_frames_per_sec_chip_fp32",
          lambda: measure("float32", batch, world), {"dtype": "float32"}),
-        ("infer_frames_per_sec_chip",
-         lambda: measure_infer("bfloat16", batch, world),
-         {"dtype": "bfloat16"}),
-        ("infer_frames_per_sec_chip_fp32",
-         lambda: measure_infer("float32", batch, world),
-         {"dtype": "float32"}),
     ]
-    if os.environ.get("UVHAND_BENCH_INFER", "1") != "1":
-        extras = extras[:1]
+    if os.environ.get("UVHAND_BENCH_INFER", "1") == "1":
+        extras.append(
+            ("infer_frames_per_sec_chip",
+             lambda: measure_infer("bfloat16", batch, world),
+             {"dtype": "bfloat16"}))
     if os.environ.get("UVHAND_BENCH_LITE", "1") == "1":
         # PRODUCTION operating point (PERF.md round-4 sign-off): Lite-DETR
         # interleaved encoder with the full-token-set refresh only in the
@@ -317,6 +320,24 @@ def main():
         extras.insert(1, ("train_frames_per_sec_chip_enc_lite", _enc_lite,
                           {"dtype": "bfloat16", "mode": "enc_lite",
                            "enc_lite_hi_every": int(hi)}))
+        # serving PRODUCTION point: B=64, lite6 encoder (952 f/s measured
+        # round 5 — the deployment-rate line, PERF.md serving note)
+        def _infer_lite():
+            import jax.numpy as jnp
+
+            big = {k: jnp.concatenate([v] * 4, 0)
+                   for k, v in batch.items()
+                   if k in ("images", "intrinsics", "query_idx")}
+            os.environ["UVHAND_BENCH_ENC_LITE"] = "1"
+            os.environ["UVHAND_BENCH_ENC_LITE_HI"] = hi
+            try:
+                return measure_infer("bfloat16", big, world)
+            finally:
+                del os.environ["UVHAND_BENCH_ENC_LITE"]
+                del os.environ["UVHAND_BENCH_ENC_LITE_HI"]
+        extras.insert(2, ("infer_frames_per_sec_chip_enc_lite", _infer_lite,
+                          {"dtype": "bfloat16", "mode": "enc_lite",
+                           "enc_lite_hi_every": int(hi), "batch": 4 * BATCH}))
     # BASELINE config-3 (window-32 temporal train) and config-2 (Swin-L-384)
     # operating points, budget permitting. No published reference number for
     # either mode, so no vs_baseline on these rows (the R50-based estimate
@@ -338,6 +359,13 @@ def main():
         extras.append(("train_frames_per_sec_chip_swin", _swin,
                        {"dtype": "bfloat16", "mode": "swin_L_384_22k",
                         "note": "BASELINE config-2 backbone"}))
+    if os.environ.get("UVHAND_BENCH_INFER", "1") == "1":
+        # least-load-bearing line: measured last so a budget cutoff costs
+        # only this one
+        extras.append(
+            ("infer_frames_per_sec_chip_fp32",
+             lambda: measure_infer("float32", batch, world),
+             {"dtype": "float32"}))
     for metric, fn, meta in extras:
         if not _under_budget():
             _emit({"metric": metric, "skipped": "budget",
