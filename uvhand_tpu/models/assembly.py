@@ -196,6 +196,27 @@ class AssemblyDETR(nn.Module):
         }
 
 
+def assembly_match(logits, keys, tgt_labels, tgt_keypoints63, target_valid,
+                   cost_class=2.0, cost_keypoint=5.0):
+    """AssemblyMatcher cost + assignment (`models/matcher.py:128-229`):
+    focal classification cost at the target labels + 63-d keypoint L1,
+    Hungarian-assigned per image. Returns (B, T) query indices (-1 for
+    invalid target slots). Module-level so the round-5 reference A/B
+    (`tests/test_reference_parity_assembly.py`) exercises the SAME code
+    the criterion uses."""
+    prob = jax.nn.sigmoid(logits)
+    alpha, gamma = 0.25, 2.0
+    neg = (1 - alpha) * prob**gamma * (-jnp.log(1 - prob + 1e-8))
+    pos = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
+    lab = jnp.maximum(tgt_labels, 0)
+    cls_cost = jnp.take_along_axis(pos - neg, lab[:, None, :], axis=2)
+    kp_cost = jnp.sum(
+        jnp.abs(keys[:, :, None] - tgt_keypoints63[:, None]), -1
+    )
+    Cm = cost_class * cls_cost + cost_keypoint * kp_cost
+    return jax.vmap(hungarian_small)(Cm, target_valid)
+
+
 def assembly_criterion(outputs, tgt_labels, tgt_keypoints63, target_valid,
                        num_classes=12, cost_class=2.0, cost_keypoint=5.0):
     """Focal labels + 63-d keypoint L1 on Hungarian-matched queries."""
@@ -206,17 +227,8 @@ def assembly_criterion(outputs, tgt_labels, tgt_keypoints63, target_valid,
     num_boxes = jnp.maximum(jnp.sum(target_valid).astype(jnp.float32), 1.0)
 
     def match(logits, keys):
-        prob = jax.nn.sigmoid(logits)
-        alpha, gamma = 0.25, 2.0
-        neg = (1 - alpha) * prob**gamma * (-jnp.log(1 - prob + 1e-8))
-        pos = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
-        lab = jnp.maximum(tgt_labels, 0)
-        cls_cost = jnp.take_along_axis(pos - neg, lab[:, None, :], axis=2)
-        kp_cost = jnp.sum(
-            jnp.abs(keys[:, :, None] - tgt_keypoints63[:, None]), -1
-        )
-        Cm = cost_class * cls_cost + cost_keypoint * kp_cost
-        return jax.vmap(hungarian_small)(Cm, target_valid)
+        return assembly_match(logits, keys, tgt_labels, tgt_keypoints63,
+                              target_valid, cost_class, cost_keypoint)
 
     def layer_losses(logits, keys):
         assign = jax.lax.stop_gradient(match(logits, keys))
