@@ -271,6 +271,21 @@ def import_reference_detr():
     return detr_mod, transformer_mod
 
 
+def import_reference_assembly():
+    """-> (assembly_detr module, assembly_transformer module), MSDA patched
+    to the pure-torch spec so the AssemblyHands model runs on CPU."""
+    install_stubs()
+    import importlib
+
+    func_mod = importlib.import_module("models.ops.functions.ms_deform_attn_func")
+    modules_mod = importlib.import_module("models.ops.modules.ms_deform_attn")
+    modules_mod.MSDeformAttnFunction = _spec_fn(func_mod.ms_deform_attn_core_pytorch)
+
+    detr_mod = importlib.import_module("models.assembly_detr")
+    transformer_mod = importlib.import_module("models.assembly_transformer")
+    return detr_mod, transformer_mod
+
+
 def _make_library_stubs(rot_mod):
     """loguru / smplx / trimesh / easydict / pytorch3d stand-ins for the
     arctic_tools import chain. The pytorch3d rotation functions alias the

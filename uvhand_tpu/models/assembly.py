@@ -1,12 +1,28 @@
 """AssemblyHands / H2O / FPHA 2.5D keypoint DETR variant.
 
-Capability parity with `/root/reference/models/assembly_detr.py` +
-`assembly_transformer.py`: per-query 63-d (21 x (u, v, d)) keypoint MLP heads
-(`assembly_detr.py:55-56`), two-stage proposals from the LAST feature level
-only with 2-d grid proposals (`assembly_transformer.py:183-232`), query
-selection = best object (classes 1..8) + argmax left (9) + argmax right (10)
--> 3 decoder queries, decoder refinement for hand queries with the uv part of
-the 63-d delta and the `sigmoid()*2-0.5` range quirk (`:430-450`).
+Numerical parity with `/root/reference/models/assembly_detr.py` +
+`assembly_transformer.py` (two_stage + box-refine configuration, the only one
+where the 3-query class-aware selection is active): per-query 63-d
+(21 x (u, v, d)) keypoint MLP heads (`assembly_detr.py:55-56`), two-stage
+proposals from the LAST feature level only with 2-d grid proposals
+(`assembly_transformer.py:183-232`), query selection = best object (classes
+1..8, the reference's best_score-starts-at-0 loop `:205-214`) + argmax left
+(col 9) + argmax right (col 10) -> 3 decoder queries in (left, right, obj)
+order (`:221-225`).
+
+Decoder semantics replicated exactly (`assembly_transformer.py:396-466` +
+`assembly_detr.py:173-218`, A/B'd against the imported reference code in
+`tests/test_reference_parity_assembly_fwd.py`):
+  - the running reference is 42-d after layer 0 (per-point, range
+    sigmoid()*2-0.5 i.e. [-0.5, 1.5]); the deformable cross-attention's
+    42-d center-refine branch means it back to a 2-d center;
+  - in-decoder refinement adds the uv delta ONLY to hand queries
+    (argmax(cls) != 0), on the base inverse_sigmoid(mean-then-renorm)
+    (`:437-441`: mean over points FIRST, then (x+0.5)/2, then invsig);
+  - the DETR-forward output head uses the OPPOSITE order
+    (`assembly_detr.py:179-193`: per-point invsig((ref+0.5)/2) FIRST, then
+    mean), adds the base to ALL queries' uv, and squashes the WHOLE 63-d
+    vector (z included) through sigmoid()*2-0.5 (`:215`).
 
 Reuses this framework's encoder/decoder layers; the criterion below mirrors
 `AssemblyMatcher` (`models/matcher.py:128-229`, 63-d L1 cost) and the focal
@@ -102,9 +118,20 @@ class AssemblyTransformer(nn.Module):
         enc_hand = enc_hand.at[..., 0::3].add(proposals[..., 0:1]).at[..., 1::3].add(proposals[..., 1:2])
         enc_obj = enc_obj.at[..., 0::3].add(proposals[..., 0:1]).at[..., 1::3].add(proposals[..., 1:2])
 
-        # 3-query class-aware selection (assembly_transformer.py:202-222)
-        obj_scores = enc_cls[:, :, 1 : 1 + self.num_obj_classes]
-        best_q = jnp.argmax(jnp.max(obj_scores, -1), axis=1)
+        # 3-query class-aware selection (assembly_transformer.py:205-225).
+        # The reference's loop starts best_score at 0 and obj_idx at 0, and
+        # updates only on a STRICT improvement per class column — with the
+        # focal bias init every logit is negative, so the loop leaves
+        # obj_idx = 0 (query 0). Replicated exactly, class-order tie-break
+        # included.
+        best_score = jnp.zeros((B,), jnp.float32)
+        best_q = jnp.zeros((B,), jnp.int32)
+        for c in range(1, 1 + self.num_obj_classes):
+            score = jnp.max(enc_cls[:, :, c], axis=1)
+            idx = jnp.argmax(enc_cls[:, :, c], axis=1)
+            take = best_score < score
+            best_q = jnp.where(take, idx, best_q)
+            best_score = jnp.where(take, score, best_score)
         left_q = jnp.argmax(enc_cls[:, :, self.num_obj_classes + 1], axis=1)
         right_q = jnp.argmax(enc_cls[:, :, self.num_obj_classes + 2], axis=1)
         b = jnp.arange(B)
@@ -121,24 +148,47 @@ class AssemblyTransformer(nn.Module):
 
         hs_list, logits_list, keys_list = [], [], []
         output = tgt
-        reference = ref2
+        ref42 = None  # (B, 3, 42) per-point running reference after layer 0
         for lid, layer in enumerate(self.dec_layers_):
-            ref_in = reference[:, :, None] * valid_ratios[:, None]
+            if lid == 0:
+                ref_in = ref2[:, :, None] * valid_ratios[:, None]  # (B,3,L,2)
+            else:
+                ref_in = ref42[:, :, None] * jnp.tile(valid_ratios, (1, 1, 21))[:, None]
             output = layer(output, query_pos, ref_in, memory, spatial_shapes, mask_flat, train)
             hs_list.append(output)
             logits = self.cls_heads[lid](output)
             logits_list.append(logits)
-            delta = self.key_heads[lid](output)  # (B, 3, 63)
-            base = inverse_sigmoid(reference)[:, :, None].repeat(21, axis=2)
-            new_kp = base + delta.reshape(B, 3, 21, 3)[..., :2]
-            keys63 = jnp.concatenate(
-                [jax.nn.sigmoid(base + delta.reshape(B, 3, 21, 3)[..., :2]) * 2 - 0.5,
-                 delta.reshape(B, 3, 21, 3)[..., 2:]], -1,
-            ).reshape(B, 3, 63)
-            keys_list.append(keys63)
-            hand_mask = (jnp.argmax(logits, -1) != 0)[..., None]
-            upd = jax.nn.sigmoid(new_kp.mean(2)) * 2 - 0.5
-            reference = jax.lax.stop_gradient(jnp.where(hand_mask, upd, reference))
+            hand_mask = (jnp.argmax(logits, -1) != 0)  # (B, 3)
+            delta = self.key_heads[lid](output).reshape(B, 3, 21, 3)
+
+            # DETR-forward output head (assembly_detr.py:173-218): base from
+            # the PRE-update reference; 42-d path means the per-point
+            # invsig((ref+0.5)/2); delta added to ALL queries; whole 63-d
+            # vector squashed sigmoid()*2-0.5 (z included).
+            if lid == 0:
+                out_base = inverse_sigmoid(ref2)  # (B, 3, 2)
+            else:
+                inv42 = inverse_sigmoid((ref42 + 0.5) / 2).reshape(B, 3, 21, 2)
+                out_base = inv42.mean(2)
+            key63 = delta.at[..., :2].add(out_base[:, :, None, :]).reshape(B, 3, 63)
+            keys_list.append(jax.nn.sigmoid(key63) * 2 - 0.5)
+
+            # In-decoder refinement (assembly_transformer.py:428-466): base
+            # from mean-then-renorm-then-invsig; uv delta added ONLY to hand
+            # queries; stored 42-d in the sigmoid()*2-0.5 range.
+            if lid == 0:
+                ref_base = inverse_sigmoid(ref2)
+            else:
+                mean42 = jnp.stack(
+                    [ref42[..., 0::2].mean(-1), ref42[..., 1::2].mean(-1)], -1
+                )
+                ref_base = inverse_sigmoid((mean42 + 0.5) / 2)
+            new42 = ref_base[:, :, None, :] + jnp.where(
+                hand_mask[:, :, None, None], delta[..., :2], 0.0
+            )
+            ref42 = jax.lax.stop_gradient(
+                jax.nn.sigmoid(new42.reshape(B, 3, 42)) * 2 - 0.5
+            )
 
         return {
             "hs": jnp.stack(hs_list),
