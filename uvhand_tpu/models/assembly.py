@@ -268,17 +268,49 @@ def assembly_match(logits, keys, tgt_labels, tgt_keypoints63, target_valid,
 
 
 def assembly_criterion(outputs, tgt_labels, tgt_keypoints63, target_valid,
-                       num_classes=12, cost_class=2.0, cost_keypoint=5.0):
-    """Focal labels + 63-d keypoint L1 on Hungarian-matched queries."""
+                       joint_valid63=None, hand_ids=(9, 10),
+                       num_classes=12, set_cost_class=1.5, set_cost_keypoint=4.0,
+                       cls_coef=2.0, keypoint_coef=5.0):
+    """Reference-exact `SetAssemblyCriterion` (`assembly_detr.py:248-445`),
+    A/B'd against the imported reference code in
+    `tests/test_reference_parity_assembly_criterion.py`.
+
+    Active losses per the reference build (`assembly_detr.py:488`):
+    `labels` (sigmoid focal CE, unmatched queries = background) and
+    `hand_keypoint` — the 63-d L1 over matched HAND slots only
+    (`loss_obj_keypoints` is commented out of the loss_map `:454`; object
+    keypoints are unsupervised), masked by the engine-injected per-joint
+    `joint_valid` (`engine.py:597-604`), summed and divided by 21 with NO
+    count normalization (`:343`). Matcher costs default to the reference
+    training defaults 1.5/4 (`util/settings.py:131-133`); loss weights to
+    cls 2 / keypoint 5 (`:137-138`). Every decoder layer is re-matched and
+    summed with the same weights (the aux loop `:421-431`). The trained
+    AssemblyHands configuration is two_stage=False (num_classes=3,
+    hand_idx=(1,2), `cfg.py:7-9`), so there is no enc-output loss branch —
+    with bin (zeroed) labels its hand mask would be empty anyway.
+    `cardinality_error` is replicated for logging parity but carries no
+    gradient and is excluded from the total, as in the reference (absent
+    from weight_dict).
+
+    joint_valid63: optional (B, T, 63) bool per-joint validity (default
+    all-valid). hand_ids: class labels that count as hands.
+    """
     st = outputs["stacked"]
-    logits_all = st["pred_logits"]  # (L, B, 3, C)
+    logits_all = st["pred_logits"]  # (L, B, Q, C)
     keys_all = st["pred_keypoints"]
     L, B, Q, C = logits_all.shape
+    if joint_valid63 is None:
+        joint_valid63 = jnp.ones_like(tgt_keypoints63, bool)
     num_boxes = jnp.maximum(jnp.sum(target_valid).astype(jnp.float32), 1.0)
+    hand_rows = jnp.zeros_like(target_valid)
+    for h in hand_ids:
+        hand_rows = hand_rows | (tgt_labels == h)
+    hand_rows = hand_rows & target_valid
+    tgt_len = jnp.sum(target_valid, axis=1).astype(jnp.float32)
 
     def match(logits, keys):
         return assembly_match(logits, keys, tgt_labels, tgt_keypoints63,
-                              target_valid, cost_class, cost_keypoint)
+                              target_valid, set_cost_class, set_cost_keypoint)
 
     def layer_losses(logits, keys):
         assign = jax.lax.stop_gradient(match(logits, keys))
@@ -295,12 +327,20 @@ def assembly_criterion(outputs, tgt_labels, tgt_keypoints63, target_valid,
         p_t = p * onehot + (1 - p) * (1 - onehot)
         loss = (0.25 * onehot + 0.75 * (1 - onehot)) * ce * (1 - p_t) ** 2
         l_ce = loss.mean(1).sum() / num_boxes * Q
-        src = keys[b_idx, q]
-        valid = target_valid & (assign >= 0)
-        l1 = jnp.abs(src - tgt_keypoints63).sum(-1) * valid
-        l_kp = jnp.sum(l1) / jnp.maximum(jnp.sum(valid), 1) / 21.0
-        return l_ce, l_kp
+        # hand-only matched keypoint L1, per-joint masked, sum / 21
+        # (assembly_detr.py:339-343)
+        src = keys[b_idx, q]  # (B, T, 63) prediction at each slot's query
+        sel = hand_rows & (assign >= 0)
+        l1 = jnp.abs(src - tgt_keypoints63) * joint_valid63
+        l_kp = jnp.sum(l1 * sel[..., None]) / 21.0
+        # cardinality error (assembly_detr.py:298-309): logging only
+        card_pred = jnp.sum(jnp.argmax(logits, -1) != C - 1, axis=1)
+        card_err = jnp.mean(jnp.abs(card_pred.astype(jnp.float32) - tgt_len))
+        return l_ce, l_kp, card_err
 
-    ce, kp = jax.vmap(layer_losses)(logits_all, keys_all)
-    total = 2.0 * ce.sum() + 5.0 * kp.sum()
-    return total, {"loss_ce": ce[-1], "loss_keypoint": kp[-1], "total": total}
+    ce, kp, card = jax.vmap(layer_losses)(logits_all, keys_all)
+    total = cls_coef * ce.sum() + keypoint_coef * kp.sum()
+    return total, {
+        "loss_ce": ce[-1], "loss_keypoint": kp[-1],
+        "cardinality_error": jax.lax.stop_gradient(card[-1]), "total": total,
+    }
